@@ -1,0 +1,167 @@
+"""Raw-dataset ingestion to the canonical event frame.
+
+Canonical schema (columns): ``user_id, item_id, time_stamp, cat_id`` —
+the contract every loader in the reference's ``DataHandle/`` emits
+(`/root/reference/DataHandle/get_origin_data_ml.py:33-39`).
+
+The reference ships one surviving loader (ml-1m) plus seven siblings that
+are imported but absent from the snapshot (SURVEY.md "snapshot gaps");
+their canonicalization is re-derived here from the surviving loader's
+shape and each dataset's public file format.  A seeded synthetic
+generator stands in when raw blobs are unavailable (the snapshot's
+ratings.dat is missing).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from mtamrecommender_tpu.config import DataConfig
+
+logger = logging.getLogger("mtamrec.data")
+
+
+def min_activity_filter(df: pd.DataFrame, min_user: int = 5,
+                        min_item: int = 5) -> pd.DataFrame:
+    """Iterative min-activity filtering.
+
+    `Get_origin_data_base.filter` is absent from the snapshot (SURVEY.md);
+    its call site (`get_origin_data_ml.py:42`) shows it maps frame->frame.
+    We use the standard k-core-style pass: drop items then users below the
+    activity floor, once each (single pass keeps ml-1m intact since every
+    user has >=20 ratings).
+    """
+    counts = df.groupby("item_id")["user_id"].transform("size")
+    df = df[counts >= min_item]
+    counts = df.groupby("user_id")["item_id"].transform("size")
+    df = df[counts >= min_user]
+    return df.reset_index(drop=True)
+
+
+def data_statistics(df: pd.DataFrame) -> Dict[str, float]:
+    """getDataStatistics equivalent: corpus-level counts."""
+    stats = {
+        "events": int(len(df)),
+        "users": int(df["user_id"].nunique()),
+        "items": int(df["item_id"].nunique()),
+        "categories": int(df["cat_id"].nunique()),
+        "events_per_user": float(len(df) / max(df["user_id"].nunique(), 1)),
+    }
+    logger.info("data statistics: %s", stats)
+    return stats
+
+
+def load_ml_1m(cfg: DataConfig) -> pd.DataFrame:
+    """MovieLens-1M loader (get_origin_data_ml.py:9-54).
+
+    Reads `movies.dat` + `ratings.dat` ('::'-separated), samples
+    ``user_sample_frac`` of users (np seed 1234), merges genres as cat_id,
+    renames to the canonical schema, filters, caches a CSV.
+    """
+    cache = os.path.join(cfg.data_root, "orgin_data", "movielens.csv")
+    if os.path.exists(cache):
+        return pd.read_csv(cache)
+    raw = os.path.join(cfg.data_root, "raw_data", "ml-1m")
+    movies = pd.read_csv(os.path.join(raw, "movies.dat"), sep="::", header=None,
+                         names=["movieId", "title", "genres"], engine="python",
+                         encoding="latin-1")
+    ratings = pd.read_csv(os.path.join(raw, "ratings.dat"), sep="::", header=None,
+                          names=["userId", "movieId", "rating", "timestamp"],
+                          engine="python")
+    rng = np.random.RandomState(cfg.seed)
+    user_counts = ratings.groupby("userId").count()
+    sampled = user_counts.sample(frac=cfg.user_sample_frac, random_state=rng)
+    ratings = ratings[ratings["userId"].isin(sampled.index)]
+    merged = pd.merge(ratings, movies, on="movieId")
+    merged = merged[["userId", "movieId", "timestamp", "genres"]]
+    merged = merged.rename(columns={"userId": "user_id", "movieId": "item_id",
+                                    "timestamp": "time_stamp", "genres": "cat_id"})
+    filtered = min_activity_filter(merged, cfg.min_user_actions,
+                                   cfg.min_item_actions)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    filtered.to_csv(cache, encoding="UTF8", index=False)
+    return filtered
+
+
+def _csv_loader(filename: str, colmap: Dict[str, str]) -> Callable[[DataConfig], pd.DataFrame]:
+    """Loader family for the canonicalized-CSV datasets
+    (yoochoose/tmall/taobao/amazon-*), mirroring the absent
+    DataHandle loaders' caching convention (data/orgin_data/<name>.csv)."""
+
+    def load(cfg: DataConfig) -> pd.DataFrame:
+        path = os.path.join(cfg.data_root, "orgin_data", filename)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found: place the canonicalized CSV there "
+                f"(columns {sorted(colmap)} -> canonical schema)")
+        df = pd.read_csv(path)
+        if colmap:
+            df = df.rename(columns=colmap)
+        required = ["user_id", "item_id", "time_stamp", "cat_id"]
+        missing = [c for c in required if c not in df.columns]
+        if missing:
+            raise ValueError(f"{path}: missing canonical columns {missing}")
+        return min_activity_filter(df[required], cfg.min_user_actions,
+                                   cfg.min_item_actions)
+
+    return load
+
+
+def load_synthetic(cfg: DataConfig) -> pd.DataFrame:
+    """Seeded synthetic behavior log with realistic temporal structure.
+
+    Stands in for the missing raw blobs in tests and benchmarks.  Users
+    draw items from a user-specific Zipf-tilted catalog slice; inter-event
+    gaps mix minutes/hours/days so the time features exercise the same
+    dynamic range as real logs.
+    """
+    rng = np.random.RandomState(cfg.seed)
+    users, items = cfg.synth_users, cfg.synth_items
+    cats = cfg.synth_categories
+    item_cat = rng.randint(0, cats, size=items)
+    # Zipf-ish global popularity
+    pop = 1.0 / (np.arange(1, items + 1) ** 0.8)
+    rows = []
+    base_time = 1_000_000_000
+    for u in range(users):
+        n = max(3, int(rng.poisson(cfg.synth_events_per_user)))
+        # user taste: re-weight a random slice of the catalog
+        taste = pop.copy()
+        fav = rng.randint(0, items, size=max(4, items // 50))
+        taste[fav] *= 20.0
+        taste /= taste.sum()
+        chosen = rng.choice(items, size=n, p=taste)
+        gaps = rng.choice([60, 600, 3600, 6 * 3600, 86400, 3 * 86400],
+                          size=n, p=[.15, .2, .25, .2, .15, .05])
+        t = base_time + rng.randint(0, 86400) + np.cumsum(gaps)
+        for i in range(n):
+            rows.append((u, int(chosen[i]), int(t[i]), int(item_cat[chosen[i]])))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "time_stamp", "cat_id"])
+    return df
+
+
+_LOADERS: Dict[str, Callable[[DataConfig], pd.DataFrame]] = {
+    "ml_1m": load_ml_1m,
+    "movielen": load_ml_1m,
+    "synthetic": load_synthetic,
+    "yoochoose": _csv_loader("yoochoose.csv", {}),
+    "tmall": _csv_loader("tmall.csv", {}),
+    "taobaoapp": _csv_loader("taobaoapp.csv", {}),
+    "music": _csv_loader("amazon_music.csv", {}),
+    "beauty": _csv_loader("amazon_beauty.csv", {}),
+    "elec": _csv_loader("amazon_elec.csv", {}),
+}
+
+
+def load_origin_data(cfg: DataConfig) -> pd.DataFrame:
+    try:
+        loader = _LOADERS[cfg.dataset]
+    except KeyError:
+        raise KeyError(f"unknown dataset {cfg.dataset!r}; known: {sorted(_LOADERS)}")
+    df = loader(cfg)
+    return df

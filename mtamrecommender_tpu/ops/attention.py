@@ -1,0 +1,251 @@
+"""Attention modules (jnp reference path).
+
+Ports of `/root/reference/Model/Modules/multihead_attention.py` (plain
+MHA) and `time_aware_attention.py` (MTAM's multiplicative time-decay gate
++ the TiSAS additive log-interval bias).  Heads live on their own einsum
+axis instead of the reference's split/concat-into-batch trick — the two
+are numerically identical, and the einsum form feeds the MXU one big
+batched matmul.
+
+Faithfulness notes:
+  * the decay gate keeps the reference's position-indexed [T_q, T_k]
+    parameters (time_aware_attention.py:295-312).  Shapes are static per
+    config in this framework, so this stays compilable; the Pallas kernel
+    (ops/pallas/time_attention.py) computes the same gate blockwise.
+  * the content-time kernel tanh(Q W_t K^T) uses the RAW queries/keys
+    (:320-323), not the projected Q/K.
+  * plain MHA applies dropout to the (query-masked) attention weights
+    (multihead_attention.py:179); the time-aware variant does not (:440
+    is commented out in the reference); TiSAS does (:198).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtamrecommender_tpu.ops import initializers as init
+from mtamrecommender_tpu.ops import layers
+
+Params = Dict[str, jax.Array]
+
+NEG_FILL = -(2.0 ** 32) + 1.0  # the reference's key-mask padding value
+
+
+# ------------------------------------------------------------ param init
+
+def init_mha_block(rng: jax.Array, num_units: int, dtype=jnp.float32) -> Params:
+    kq, kk, kv = jax.random.split(rng, 3)
+    return {
+        "q": layers.init_dense(kq, num_units, num_units, dtype=dtype),
+        "k": layers.init_dense(kk, num_units, num_units, dtype=dtype),
+        "v": layers.init_dense(kv, num_units, num_units, dtype=dtype),
+        "ln": layers.init_layer_norm(num_units, dtype),
+    }
+
+
+def init_time_mha_block(rng: jax.Array, num_units: int, t_q_len: int,
+                        t_k_len: int, dtype=jnp.float32) -> Params:
+    base = init_mha_block(rng, num_units, dtype)
+    ks = jax.random.split(jax.random.fold_in(rng, 7), 6)
+    shape = (t_q_len, t_k_len)
+    base.update({
+        "time_input_w": init.glorot_uniform(ks[0], (num_units, num_units), dtype),
+        "time_input_w1": init.glorot_uniform(ks[1], shape, dtype),
+        "time_input_b1": init.glorot_uniform(ks[2], shape, dtype),
+        "time_output_w1": init.glorot_uniform(ks[3], shape, dtype),
+        "time_output_w2": init.glorot_uniform(ks[4], shape, dtype),
+        "time_output_b": init.glorot_uniform(ks[5], shape, dtype),
+    })
+    return base
+
+
+def init_tisas_block(rng: jax.Array, num_units: int, dtype=jnp.float32) -> Params:
+    return init_mha_block(rng, num_units, dtype)
+
+
+# ------------------------------------------------------------ core pieces
+
+def _project_qkv(params: Params, queries: jax.Array, keys: jax.Array,
+                 num_heads: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """relu-activated Q/K/V projections, reshaped to [B, h, T, d/h]."""
+    d = params["q"]["w"].shape[1]
+    dh = d // num_heads
+
+    def heads(x):
+        b, t, _ = x.shape
+        return jnp.transpose(x.reshape(b, t, num_heads, dh), (0, 2, 1, 3))
+
+    q = heads(layers.dense(params["q"], queries, jax.nn.relu))
+    k = heads(layers.dense(params["k"], keys, jax.nn.relu))
+    v = heads(layers.dense(params["v"], keys, jax.nn.relu))
+    return q, k, v
+
+
+def _finish(params: Params, scores: jax.Array, v: jax.Array,
+            queries: jax.Array, key_len: jax.Array, query_len: jax.Array,
+            dropout_rate: float, train: bool,
+            rng: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    """Mask -> softmax -> query-mask -> (dropout) -> weighted sum ->
+    residual -> normalize.  Shared tail of all three attention variants.
+
+    scores: [B, h, Tq, Tk]; v: [B, h, Tk, dh]; queries: [B, Tq, d]."""
+    b, h, tq, tk = scores.shape
+    key_mask = layers.sequence_mask(key_len, tk)[:, None, None, :]
+    scores = jnp.where(key_mask, scores, NEG_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)
+    query_mask = layers.sequence_mask(query_len, tq).astype(weights.dtype)
+    weights = weights * query_mask[:, None, :, None]
+    att_vec = weights
+    if dropout_rate > 0.0:
+        weights = layers.dropout(rng, weights, dropout_rate, train)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, tq, -1)
+    out = out + queries                      # residual
+    out = layers.normalize(params["ln"], out)  # Attention.normalize (eps 1e-8)
+    return out, att_vec
+
+
+# ------------------------------------------------------------ variants
+
+def multihead_attention(params: Params, queries: jax.Array, keys: jax.Array,
+                        key_len: jax.Array, query_len: jax.Array, *,
+                        num_heads: int, dropout_rate: float = 0.0,
+                        train: bool = True,
+                        rng: Optional[jax.Array] = None
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Plain MHA (multihead_attention.py:71-193)."""
+    q, k, v = _project_qkv(params, queries, keys, num_heads)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    scores = scores / (k.shape[-1] ** 0.5)
+    return _finish(params, scores, v, queries, key_len, query_len,
+                   dropout_rate, train, rng)
+
+
+def time_aware_multihead_attention(params: Params, queries: jax.Array,
+                                   keys: jax.Array, key_len: jax.Array,
+                                   query_len: jax.Array, t_queries: jax.Array,
+                                   t_keys: jax.Array, *, num_heads: int,
+                                   dropout_rate: float = 0.0,
+                                   train: bool = True,
+                                   rng: Optional[jax.Array] = None
+                                   ) -> Tuple[jax.Array, jax.Array]:
+    """MTAM's memory reader: scores *= sigmoid(decay_gate)
+    (time_aware_attention.py:215-456).
+
+    t_queries: [B, Tq] hours; t_keys: [B, Tk] hours.
+    """
+    q, k, v = _project_qkv(params, queries, keys, num_heads)
+    # content-time kernel on RAW embeddings (:320-323)
+    time_qk = jnp.tanh(jnp.einsum(
+        "bqd,de,bke->bqk", queries, params["time_input_w"], keys))
+    # interval decay (:330-343)
+    delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])
+    decay = jnp.tanh(jnp.log1p(delta) * params["time_input_w1"]
+                     + params["time_input_b1"])
+    gate = (params["time_output_w1"] * decay
+            + params["time_output_w2"] * time_qk
+            + params["time_output_b"])                     # (:350)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    scores = scores * jax.nn.sigmoid(gate)[:, None, :, :]  # (:381)
+    scores = scores / (k.shape[-1] ** 0.5)
+    # reference leaves dropout disabled here (:440)
+    return _finish(params, scores, v, queries, key_len, query_len,
+                   0.0, train, rng)
+
+
+def tisas_multihead_attention(params: Params, queries: jax.Array,
+                              keys: jax.Array, key_len: jax.Array,
+                              query_len: jax.Array, t_queries: jax.Array,
+                              t_keys: jax.Array, *, num_heads: int,
+                              dropout_rate: float = 0.0, train: bool = True,
+                              rng: Optional[jax.Array] = None
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """TiSAS additive variant: scores += log(|Δt|+1)
+    (TiSAS_multihead_attention, time_aware_attention.py:73-214)."""
+    q, k, v = _project_qkv(params, queries, keys, num_heads)
+    delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])
+    interval = jnp.log1p(delta)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) + interval[:, None, :, :]
+    scores = scores / (k.shape[-1] ** 0.5)
+    return _finish(params, scores, v, queries, key_len, query_len,
+                   dropout_rate, train, rng)
+
+
+# ------------------------------------------------------------ stacks
+
+def init_attention_stack(rng: jax.Array, num_blocks: int, num_units: int,
+                         *, kind: str = "plain", t_q_len: int = 0,
+                         t_k_len: int = 0, dtype=jnp.float32) -> List[Params]:
+    blocks = []
+    for i in range(num_blocks):
+        kb = jax.random.fold_in(rng, i)
+        if kind == "plain" or kind == "tisas":
+            blocks.append(init_mha_block(kb, num_units, dtype))
+        elif kind == "time":
+            blocks.append(init_time_mha_block(kb, num_units, t_q_len, t_k_len,
+                                              dtype))
+        else:
+            raise ValueError(f"unknown attention kind {kind!r}")
+    return blocks
+
+
+def self_attention_stack(blocks: List[Params], enc: jax.Array,
+                         key_len: jax.Array, query_len: jax.Array, *,
+                         kind: str, num_heads: int, dropout_rate: float,
+                         train: bool, rng: Optional[jax.Array] = None,
+                         t_queries: Optional[jax.Array] = None,
+                         t_keys: Optional[jax.Array] = None
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Attention.self_attention / Time_Aware_Attention.{self,Tiself}_attention:
+    num_blocks stacked self-attention hops (no FFN — the reference's
+    feed-forward blocks are commented out)."""
+    att_vec = None
+    for i, params in enumerate(blocks):
+        block_rng = None if rng is None else jax.random.fold_in(rng, i)
+        if kind == "plain":
+            enc, att_vec = multihead_attention(
+                params, enc, enc, key_len, query_len, num_heads=num_heads,
+                dropout_rate=dropout_rate, train=train, rng=block_rng)
+        elif kind == "time":
+            enc, att_vec = time_aware_multihead_attention(
+                params, enc, enc, key_len, query_len, t_queries, t_keys,
+                num_heads=num_heads, dropout_rate=dropout_rate, train=train,
+                rng=block_rng)
+        elif kind == "tisas":
+            enc, att_vec = tisas_multihead_attention(
+                params, enc, enc, key_len, query_len, t_queries, t_keys,
+                num_heads=num_heads, dropout_rate=dropout_rate, train=train,
+                rng=block_rng)
+        else:
+            raise ValueError(f"unknown attention kind {kind!r}")
+    return enc, att_vec
+
+
+def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
+                            dec: jax.Array, key_len: jax.Array,
+                            query_len: jax.Array, *, kind: str,
+                            num_heads: int, dropout_rate: float, train: bool,
+                            rng: Optional[jax.Array] = None,
+                            t_queries: Optional[jax.Array] = None,
+                            t_keys: Optional[jax.Array] = None) -> jax.Array:
+    """Decoder cross-attention hops; returns [B*Tq, d] like the
+    reference's final reshape (multihead_attention.py:250,
+    time_aware_attention.py:555)."""
+    for i, params in enumerate(blocks):
+        block_rng = None if rng is None else jax.random.fold_in(rng, i)
+        if kind == "plain":
+            dec, _ = multihead_attention(
+                params, dec, enc, key_len, query_len, num_heads=num_heads,
+                dropout_rate=dropout_rate, train=train, rng=block_rng)
+        elif kind == "time":
+            dec, _ = time_aware_multihead_attention(
+                params, dec, enc, key_len, query_len, t_queries, t_keys,
+                num_heads=num_heads, dropout_rate=dropout_rate, train=train,
+                rng=block_rng)
+        else:
+            raise ValueError(f"unknown attention kind {kind!r}")
+    d = dec.shape[-1]
+    return dec.reshape(-1, d)

@@ -1,0 +1,74 @@
+"""Behavior-sequence embedding layer.
+
+Port of `/root/reference/Embedding/Behavior_embedding_time_aware_attention.py`:
+four lookup tables (user/item/category/position, each with +3 vocab slack
+rows) and the fused behavior embedding
+``ReLU(Dense_d(concat(item_emb, cat_emb))) + position_emb`` (:93-104,
+bias-free dense).  Lookups go through a pluggable gather so the
+row-sharded (EP) and Pallas paths can swap in without touching models.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mtamrecommender_tpu.ops import initializers as init
+from mtamrecommender_tpu.types import Batch, DatasetMeta
+
+Params = Dict[str, jax.Array]
+
+
+class EmbeddedBatch(NamedTuple):
+    user_emb: jax.Array       # [B, d]
+    behavior_emb: jax.Array   # [B, L, d]
+    item_emb: jax.Array       # [B, L, d]
+    cat_emb: jax.Array        # [B, L, d]
+    pos_emb: jax.Array        # [B, L, d]
+
+
+def pad_vocab(count: int, multiple: int) -> int:
+    """Round a vocab size up so tables row-shard evenly and tile onto the
+    TPU lane dimension.  Padded rows are PHYSICAL only: logits for ids >=
+    the logical vocab are masked to the reference's -2**32 fill in
+    models/base.item_logits, so ranking/CE semantics are unchanged."""
+    if multiple <= 1:
+        return count
+    return ((count + multiple - 1) // multiple) * multiple
+
+
+def init_behavior_embedding(rng: jax.Array, meta: DatasetMeta, num_units: int,
+                            dtype=jnp.float32, vocab_pad_multiple: int = 1
+                            ) -> Params:
+    ku, ki, kc, kp, kd = jax.random.split(rng, 5)
+    pad = lambda n: pad_vocab(n, vocab_pad_multiple)  # noqa: E731
+    return {
+        "user_table": init.embedding_uniform(ku, (pad(meta.user_vocab), num_units), dtype),
+        "item_table": init.embedding_uniform(ki, (pad(meta.item_vocab), num_units), dtype),
+        "cat_table": init.embedding_uniform(kc, (pad(meta.category_vocab), num_units), dtype),
+        "pos_table": init.embedding_uniform(kp, (pad(meta.position_vocab), num_units), dtype),
+        # dense4emb (:98-101): relu dense, use_bias=False
+        "dense_w": init.glorot_uniform(kd, (2 * num_units, num_units), dtype),
+    }
+
+
+def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Replicated-table lookup. The sharded engine
+    (parallel/embedding_shard.py) provides the EP equivalent."""
+    return jnp.take(table, ids, axis=0)
+
+
+def behavior_embedding(params: Params, batch: Batch,
+                       gather=gather_rows) -> EmbeddedBatch:
+    user_emb = gather(params["user_table"], batch.user_id)
+    item_emb = gather(params["item_table"], batch.items)
+    cat_emb = gather(params["cat_table"], batch.cats)
+    pos_emb = gather(params["pos_table"], batch.positions)
+    concat = jnp.concatenate([item_emb, cat_emb], axis=-1)
+    dense = jax.nn.relu(jnp.matmul(concat, params["dense_w"],
+                                   preferred_element_type=concat.dtype))
+    behavior = dense + pos_emb
+    return EmbeddedBatch(user_emb=user_emb, behavior_emb=behavior,
+                         item_emb=item_emb, cat_emb=cat_emb, pos_emb=pos_emb)

@@ -1,0 +1,121 @@
+"""Data-layer parity tests: masking, example building, packing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mtamrecommender_tpu.config import DataConfig
+from mtamrecommender_tpu.data import masking
+from mtamrecommender_tpu.data.ingest import load_synthetic, min_activity_filter
+from mtamrecommender_tpu.data.pipeline import batch_iterator, pack_examples
+from mtamrecommender_tpu.data.prepare import (build_user_examples, map_process,
+                                              prepare_examples)
+
+
+def test_gap_list_matches_reference():
+    # prepare_data_base.get_gap_list: [60, 3600, 86400, 172800, 345600] for gap_num=6
+    gap = masking.gap_list(6)
+    assert gap.tolist() == [60, 3600, 86400, 172800, 345600]
+
+
+def test_time_features_invariants():
+    # pro_time_method: timelast[0]=0, timelast[i]=t[i]-t[i-1]; timenow=target-t
+    t = [10, 12, 20, 21]
+    timelast, timenow = masking.time_features(t, 30)
+    assert timelast == [0, 2, 8, 1]
+    assert timenow == [20, 18, 10, 9]
+
+
+def test_window_start_keeps_at_most_limit_minus_one():
+    # mask_data_process.py:181-184 keeps <= length_limit-1 history events
+    assert masking.window_start(10, 50) == 0
+    assert masking.window_start(60, 50) == 11
+    # history = [start, index) has 49 events when index=60
+    assert 60 - masking.window_start(60, 50) == 49
+
+
+def test_build_user_examples_leave_last_out():
+    cfg = DataConfig(max_seq_len=50)
+    items = [3, 1, 4, 1, 5]
+    cats = [0, 1, 0, 1, 2]
+    stamps = [3600 * k for k in (1, 2, 5, 9, 14)]
+    item_cat = {3: 0, 1: 1, 4: 0, 5: 2}
+    train, test = build_user_examples(
+        7, items, cats, stamps, item_count=100, category_count=10,
+        item_category=item_cat, cfg=cfg)
+    # positions 1..4 are targets; only index L-1 becomes test
+    assert len(train) == 3 and len(test) == 1
+    ex = test[0]
+    user, iseq, cseq, tseq, tlast, tnow, pos, target, slen = ex
+    assert user == 7
+    assert iseq == [3, 1, 4, 1, 101]          # mask token item_count+1
+    assert cseq == [0, 1, 0, 1, 11]
+    assert tseq == [1, 2, 5, 9, 14]           # hours + appended target hour
+    assert tlast == [0, 1, 3, 4, 0]
+    assert tnow == [13, 12, 9, 5, 0]
+    assert pos == [0, 1, 2, 3, 4]
+    assert target == [5, 2, 14]
+    assert slen == 5
+    # first train example: history = [item0], target = item1
+    first = sorted(train, key=lambda e: e[8])[0]
+    assert first[1] == [3, 101] and first[7][0] == 1
+
+
+def test_prepare_examples_end_to_end_counts():
+    cfg = DataConfig(dataset="synthetic", synth_users=40,
+                     synth_events_per_user=10, max_seq_len=50)
+    df = load_synthetic(cfg)
+    prepared = prepare_examples(df, cfg)
+    # one test example per user with >= 2 events
+    users_with_2 = (df.groupby("user_id").size() >= 2).sum()
+    assert len(prepared.test_set) == users_with_2
+    assert prepared.meta.item_count == df["item_id"].nunique()
+    # every example's last item is the mask token
+    for ex in prepared.test_set[:20]:
+        assert ex[1][-1] == prepared.meta.item_count + 1
+        assert ex[8] == len(ex[1]) <= cfg.max_seq_len
+
+
+def test_prepare_cache_roundtrip(tmp_path):
+    cfg = DataConfig(dataset="synthetic", synth_users=10,
+                     synth_events_per_user=6)
+    df = load_synthetic(cfg)
+    p1 = prepare_examples(df, cfg, cache_dir=str(tmp_path))
+    p2 = prepare_examples(df, cfg, cache_dir=str(tmp_path))
+    assert p1.train_set == p2.train_set
+    assert p1.test_set == p2.test_set
+    assert p1.meta == p2.meta
+
+
+def test_map_process_label_encoding():
+    df = pd.DataFrame({"user_id": [10, 10, 99], "item_id": ["b", "a", "b"],
+                       "time_stamp": [3, 1, 2], "cat_id": [7, 5, 7]})
+    out, meta, item_cat = map_process(df)
+    assert meta.user_count == 2 and meta.item_count == 2
+    assert sorted(out["item_id"].unique().tolist()) == [0, 1]
+    # sorted by (user, time)
+    assert out.iloc[0]["time_stamp"] == 1
+    assert item_cat == {1: 1, 0: 0}
+
+
+def test_pack_and_iterate_partial_batch():
+    cfg = DataConfig(dataset="synthetic", synth_users=30,
+                     synth_events_per_user=8)
+    prepared = prepare_examples(load_synthetic(cfg), cfg)
+    packed = pack_examples(prepared.train_set, prepared.meta, max_len=50)
+    batches = list(batch_iterator(packed, 32))
+    total_valid = sum(int(b.valid.sum()) for _, b in batches)
+    assert total_valid == len(prepared.train_set)
+    for _, b in batches:
+        assert b.items.shape == (32, 50)
+        # padded rows keep seq_len=2 so gather indices stay in range
+        assert int(b.seq_len.min()) >= 2
+
+
+def test_min_activity_filter():
+    df = pd.DataFrame({
+        "user_id": [1] * 6 + [2] * 2,
+        "item_id": [10, 11, 10, 11, 10, 11, 10, 11],
+        "time_stamp": range(8), "cat_id": [0] * 8})
+    out = min_activity_filter(df, min_user=5, min_item=2)
+    assert set(out["user_id"]) == {1}
