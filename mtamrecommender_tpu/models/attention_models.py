@@ -27,12 +27,13 @@ def _init(rng, cfg, meta, kind):
 
 
 def _apply(params, cfg, batch, kind, train, rng):
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     enc, _ = attention.self_attention_stack(
         params["att"], e.behavior_emb, key_len=batch.seq_len,
         query_len=batch.seq_len, kind=kind, num_heads=cfg.num_heads,
         dropout_rate=cfg.dropout, train=train, rng=rng,
-        t_queries=batch.times, t_keys=batch.times)
+        t_queries=batch.times, t_keys=batch.times,
+        use_pallas=cfg.use_pallas)
     pred = layers.gather_positions(enc, batch.seq_len - 1)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], pred), e)
 

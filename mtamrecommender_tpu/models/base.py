@@ -44,8 +44,10 @@ def mask_index(batch: Batch) -> jax.Array:
     return batch.seq_len - 1
 
 
-def embed(params: Params, batch: Batch) -> emb_ops.EmbeddedBatch:
-    return emb_ops.behavior_embedding(params["embedding"], batch)
+def embed(params: Params, batch: Batch,
+          use_pallas: bool = False) -> emb_ops.EmbeddedBatch:
+    return emb_ops.behavior_embedding(params["embedding"], batch,
+                                      use_pallas=use_pallas)
 
 
 def l2_of_lookups(embedded: emb_ops.EmbeddedBatch, valid: jax.Array) -> jax.Array:

@@ -25,5 +25,5 @@ def init_bprmf(rng, cfg, meta):
 
 
 def apply_bprmf(params, cfg, batch, *, train, rng):
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     return base.ModelOutput(e.user_emb, e)

@@ -41,14 +41,15 @@ def _init_narm(rng, cfg, meta, *, rnn: str, att_kind: str) -> Params:
 
 
 def _apply_narm(params, cfg, batch, *, rnn: str, att_kind: str, train, rng):
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     lengths = batch.seq_len - 1
     if rnn == "plain":
-        states = time_gru.gru_net(params["rnn"], e.behavior_emb, lengths)
+        states = time_gru.gru_net(params["rnn"], e.behavior_emb, lengths,
+                                  use_pallas=cfg.use_pallas)
     else:
         states = time_gru.time_aware_gru_net(
             params["rnn"], rnn, e.behavior_emb, batch.time_last,
-            batch.time_now, lengths)
+            batch.time_now, lengths, use_pallas=cfg.use_pallas)
     intent = layers.layer_norm(params["ln_intent"],
                                layers.gather_positions(states, batch.seq_len - 2))
     ones = jnp.ones_like(batch.seq_len)
@@ -56,7 +57,8 @@ def _apply_narm(params, cfg, batch, *, rnn: str, att_kind: str, train, rng):
         params["att"], states, intent[:, None, :], key_len=batch.seq_len,
         query_len=ones, kind=att_kind, num_heads=1,
         dropout_rate=cfg.dropout, train=train, rng=rng,
-        t_queries=batch.target_time[:, None], t_keys=batch.times)
+        t_queries=batch.target_time[:, None], t_keys=batch.times,
+        use_pallas=cfg.use_pallas)
     pred = layers.layer_norm(params["ln_out"],
                              jnp.concatenate([intent, hybrid], axis=1))
     return base.ModelOutput(pred, e)
@@ -107,9 +109,10 @@ def init_lstur(rng, cfg, meta):
 def apply_lstur(params, cfg, batch, *, train, rng):
     """LSTUR (hybird_baseline_models.py:40-54): GRU seeded with the user
     embedding as initial state."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     out = time_gru.gru_net(params["rnn"], e.behavior_emb, batch.seq_len - 1,
-                           initial_state=e.user_emb)
+                           initial_state=e.user_emb,
+                           use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], intent), e)
 
@@ -133,12 +136,13 @@ def apply_lstur_time_rnn(params, cfg, batch, *, train, rng):
     0..d-3 as content and dims d-2/d-1 as the time signals.  We reproduce
     that behavior exactly rather than 'fixing' it.
     """
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     content = e.behavior_emb[:, :, :-2]
     t_last = e.behavior_emb[:, :, -2]
     t_now = e.behavior_emb[:, :, -1]
     out = time_gru.tseqrec_net(params["rnn"], content, t_last, t_now,
-                               batch.seq_len - 1, initial_state=e.user_emb)
+                               batch.seq_len - 1, initial_state=e.user_emb,
+                               use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], intent), e)
 
@@ -172,7 +176,7 @@ def apply_stamp(params, cfg, batch, *, train, rng):
     time (einsum('bt,btd->bd')).  `att_b` is declared but unused in the
     reference's live path (:193-195); we match.
     """
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     history = e.behavior_emb
     external_memory = layers.layer_norm(params["ln_mem"],
                                         jnp.sum(history, axis=1))

@@ -51,11 +51,12 @@ def _intent(params: Params, cfg: ModelConfig, batch: Batch,
     (the history without the mask slot)."""
     lengths = batch.seq_len - 1
     if rnn == "plain":
-        out = time_gru.gru_net(params["rnn"], embedded.behavior_emb, lengths)
+        out = time_gru.gru_net(params["rnn"], embedded.behavior_emb, lengths,
+                               use_pallas=cfg.use_pallas)
     else:
         out = time_gru.time_aware_gru_net(
             params["rnn"], rnn, embedded.behavior_emb, batch.time_last,
-            batch.time_now, lengths)
+            batch.time_now, lengths, use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return out, intent
 
@@ -73,7 +74,8 @@ def _readout(params: Params, cfg: ModelConfig, batch: Batch, memory,
         blocks, memory, dec, key_len=batch.seq_len, query_len=ones,
         kind=att_kind, num_heads=num_heads or cfg.num_heads,
         dropout_rate=cfg.dropout, train=train, rng=rng,
-        t_queries=batch.target_time[:, None], t_keys=batch.times)
+        t_queries=batch.target_time[:, None], t_keys=batch.times,
+        use_pallas=cfg.use_pallas)
 
 
 # ------------------------------------------------------------ the family
@@ -85,7 +87,7 @@ def init_mtam(rng, cfg, meta):
 def apply_mtam(params, cfg, batch, *, train, rng):
     """MTAM (MTAMRec_model.py:61-92): T-GRU intent -> time-aware
     multi-hop attention over raw behavior embeddings -> layer norm."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "new")
     hybrid = _readout(params, cfg, batch, e.behavior_emb, intent, "time",
                       train, rng)
@@ -99,7 +101,7 @@ def init_t_gru(rng, cfg, meta):
 
 def apply_t_gru(params, cfg, batch, *, train, rng):
     """MTAM_only_time_aware_RNN (MTAMRec_model.py:40-59)."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "T-SeqRec")
     pred = layers.layer_norm(params["ln_out"], intent)
     return base.ModelOutput(pred, e)
@@ -111,7 +113,7 @@ def init_mtam_no_time_rnn(rng, cfg, meta):
 
 def apply_mtam_no_time_rnn(params, cfg, batch, *, train, rng):
     """MTAM_no_time_aware_rnn (MTAMRec_model.py:93-127)."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "plain")
     hybrid = _readout(params, cfg, batch, e.behavior_emb, intent, "time",
                       train, rng)
@@ -126,7 +128,7 @@ def init_mtam_no_time_att(rng, cfg, meta):
 def apply_mtam_no_time_att(params, cfg, batch, *, train, rng):
     """MTAM_no_time_aware_att (MTAMRec_model.py:128-164).  NOTE the
     reference does NOT layer-norm the readout here (:158)."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "new")
     hybrid = _readout(params, cfg, batch, e.behavior_emb, intent, "plain",
                       train, rng)
@@ -146,7 +148,7 @@ def init_mtam_via_t_gru(rng, cfg, meta):
 def apply_mtam_via_t_gru(params, cfg, batch, *, train, rng):
     """MTAM_via_T_GRU (MTAMRec_model.py:167-205): memory = T-GRU hidden
     states; intent layer-normed before attention."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     states, intent = _intent(params, cfg, batch, e, "new")
     intent = layers.layer_norm(params["ln_intent"], intent)
     hybrid = _readout(params, cfg, batch, states, intent, "time", train, rng)
@@ -160,7 +162,7 @@ def init_mtam_via_rnn(rng, cfg, meta):
 
 def apply_mtam_via_rnn(params, cfg, batch, *, train, rng):
     """MTAM_via_rnn (MTAMRec_model.py:206-239): memory = plain-GRU states."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     states, intent = _intent(params, cfg, batch, e, "plain")
     intent = layers.layer_norm(params["ln_intent"], intent)
     hybrid = _readout(params, cfg, batch, states, intent, "time", train, rng)
@@ -176,7 +178,7 @@ def init_mtam_hybird(rng, cfg, meta):
 def apply_mtam_hybird(params, cfg, batch, *, train, rng):
     """MTAM_hybird (MTAMRec_model.py:240-273): concat(intent,
     ln(attention)) -> output_concat."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "new")
     hybrid = _readout(params, cfg, batch, e.behavior_emb, intent, "time",
                       train, rng)
@@ -191,7 +193,7 @@ def init_mtam_with_t_seqrec(rng, cfg, meta):
 
 def apply_mtam_with_t_seqrec(params, cfg, batch, *, train, rng):
     """MTAM_with_T_SeqRec (MTAMRec_model.py:275-306)."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     _, intent = _intent(params, cfg, batch, e, "T-SeqRec")
     hybrid = _readout(params, cfg, batch, e.behavior_emb, intent, "time",
                       train, rng)

@@ -46,17 +46,19 @@ def init_pistrec(rng, cfg, meta):
 
 
 def apply_pistrec(params, cfg, batch, *, train, rng):
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     enc, _ = attention.self_attention_stack(
         params["self_att"], e.behavior_emb, key_len=batch.seq_len,
         query_len=batch.seq_len, kind="time", num_heads=cfg.num_heads,
         dropout_rate=cfg.dropout, train=train, rng=rng,
-        t_queries=batch.times, t_keys=batch.times)
+        t_queries=batch.times, t_keys=batch.times,
+        use_pallas=cfg.use_pallas)
     long_term = layers.gather_positions(enc, batch.seq_len - 1)
 
     states = time_gru.tseqrec_net(params["rnn"], e.behavior_emb,
                                   batch.time_last, batch.time_now,
-                                  batch.seq_len - 1)
+                                  batch.seq_len - 1,
+                                  use_pallas=cfg.use_pallas)
     short_term = layers.gather_positions(states, batch.seq_len - 2)
 
     ones = jnp.ones_like(batch.seq_len)
@@ -64,7 +66,8 @@ def apply_pistrec(params, cfg, batch, *, train, rng):
         params["cross_att"], enc, short_term[:, None, :],
         key_len=batch.seq_len, query_len=ones, kind="time",
         num_heads=cfg.num_heads, dropout_rate=cfg.dropout, train=train,
-        rng=rng, t_queries=batch.target_time[:, None], t_keys=batch.times)
+        rng=rng, t_queries=batch.target_time[:, None], t_keys=batch.times,
+        use_pallas=cfg.use_pallas)
 
     z = jax.nn.softmax(layers.dense(
         params["switch"], jnp.concatenate([long_term, short_term, hybrid], 1)))

@@ -31,8 +31,9 @@ def init_gru4rec(rng, cfg, meta):
 def apply_gru4rec(params, cfg, batch, *, train, rng):
     """Gru4Rec (RNN_baesline_models.py:55-70): plain GRU over the fused
     behavior embedding, last valid state, layer norm."""
-    e = base.embed(params, batch)
-    out = time_gru.gru_net(params["rnn"], e.behavior_emb, batch.seq_len - 1)
+    e = base.embed(params, batch, cfg.use_pallas)
+    out = time_gru.gru_net(params["rnn"], e.behavior_emb, batch.seq_len - 1,
+                           use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], intent), e)
 
@@ -44,8 +45,9 @@ def init_vallina_gru4rec(rng, cfg, meta):
 def apply_vallina_gru4rec(params, cfg, batch, *, train, rng):
     """Vallina_Gru4Rec (RNN_baesline_models.py:72-87): GRU over the raw
     item embeddings only."""
-    e = base.embed(params, batch)
-    out = time_gru.gru_net(params["rnn"], e.item_emb, batch.seq_len - 1)
+    e = base.embed(params, batch, cfg.use_pallas)
+    out = time_gru.gru_net(params["rnn"], e.item_emb, batch.seq_len - 1,
+                           use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], intent), e)
 
@@ -57,9 +59,10 @@ def init_t_seqrec(rng, cfg, meta):
 def apply_t_seqrec(params, cfg, batch, *, train, rng):
     """T_SeqRec (RNN_baesline_models.py:33-53): SLi-Rec style time-aware
     GRU over [behavior_emb ; timelast ; timenow]."""
-    e = base.embed(params, batch)
+    e = base.embed(params, batch, cfg.use_pallas)
     out = time_gru.tseqrec_net(params["rnn"], e.behavior_emb,
                                batch.time_last, batch.time_now,
-                               batch.seq_len - 1)
+                               batch.seq_len - 1,
+                               use_pallas=cfg.use_pallas)
     intent = layers.gather_positions(out, batch.seq_len - 2)
     return base.ModelOutput(layers.layer_norm(params["ln_out"], intent), e)

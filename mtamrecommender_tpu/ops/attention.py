@@ -130,13 +130,19 @@ def time_aware_multihead_attention(params: Params, queries: jax.Array,
                                    t_keys: jax.Array, *, num_heads: int,
                                    dropout_rate: float = 0.0,
                                    train: bool = True,
-                                   rng: Optional[jax.Array] = None
+                                   rng: Optional[jax.Array] = None,
+                                   use_pallas: bool = False
                                    ) -> Tuple[jax.Array, jax.Array]:
     """MTAM's memory reader: scores *= sigmoid(decay_gate)
     (time_aware_attention.py:215-456).
 
     t_queries: [B, Tq] hours; t_keys: [B, Tk] hours.
     """
+    if use_pallas:
+        from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+        if pk.supported(keys.shape[1], num_heads):
+            return _time_attention_pallas(params, queries, keys, key_len,
+                                          query_len, t_queries, t_keys)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     # content-time kernel on RAW embeddings (:320-323)
     time_qk = jnp.tanh(jnp.einsum(
@@ -161,10 +167,16 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
                               query_len: jax.Array, t_queries: jax.Array,
                               t_keys: jax.Array, *, num_heads: int,
                               dropout_rate: float = 0.0, train: bool = True,
-                              rng: Optional[jax.Array] = None
+                              rng: Optional[jax.Array] = None,
+                              use_pallas: bool = False
                               ) -> Tuple[jax.Array, jax.Array]:
     """TiSAS additive variant: scores += log(|Δt|+1)
     (TiSAS_multihead_attention, time_aware_attention.py:73-214)."""
+    if use_pallas and not (train and dropout_rate > 0.0):
+        from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+        if pk.supported(keys.shape[1], num_heads):
+            return _tisas_attention_pallas(params, queries, keys, key_len,
+                                           query_len, t_queries, t_keys)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])
     interval = jnp.log1p(delta)
@@ -172,6 +184,47 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
     scores = scores / (k.shape[-1] ** 0.5)
     return _finish(params, scores, v, queries, key_len, query_len,
                    dropout_rate, train, rng)
+
+
+# ------------------------------------------------- pallas fused middles
+
+def _pallas_tail(params: Params, out: jax.Array, queries: jax.Array,
+                 query_len: jax.Array) -> jax.Array:
+    """Query-mask -> residual -> normalize (same tail as _finish)."""
+    qmask = layers.sequence_mask(query_len, queries.shape[1]
+                                 ).astype(out.dtype)[:, :, None]
+    out = out * qmask + queries
+    return layers.normalize(params["ln"], out)
+
+
+def _time_attention_pallas(params, queries, keys, key_len, query_len,
+                           t_queries, t_keys):
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    q = layers.dense(params["q"], queries, jax.nn.relu)
+    k = layers.dense(params["k"], keys, jax.nn.relu)
+    v = layers.dense(params["v"], keys, jax.nn.relu)
+    tqw = jnp.matmul(queries, params["time_input_w"],
+                     preferred_element_type=queries.dtype)
+    out = pk.fused_attention(
+        "time", q, k, v, t_queries, t_keys, tqw, keys,
+        params["time_input_w1"], params["time_input_b1"],
+        params["time_output_w1"], params["time_output_w2"],
+        params["time_output_b"], key_len)
+    return _pallas_tail(params, out, queries, query_len), None
+
+
+def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
+                            t_queries, t_keys):
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    q = layers.dense(params["q"], queries, jax.nn.relu)
+    k = layers.dense(params["k"], keys, jax.nn.relu)
+    v = layers.dense(params["v"], keys, jax.nn.relu)
+    # tisas needs no content-time kernel or gate params; pass zeros
+    zg = jnp.zeros((queries.shape[1], keys.shape[1]), q.dtype)
+    out = pk.fused_attention(
+        "tisas", q, k, v, t_queries, t_keys, jnp.zeros_like(q),
+        jnp.zeros_like(k), zg, zg, zg, zg, zg, key_len)
+    return _pallas_tail(params, out, queries, query_len), None
 
 
 # ------------------------------------------------------------ stacks
@@ -197,7 +250,8 @@ def self_attention_stack(blocks: List[Params], enc: jax.Array,
                          kind: str, num_heads: int, dropout_rate: float,
                          train: bool, rng: Optional[jax.Array] = None,
                          t_queries: Optional[jax.Array] = None,
-                         t_keys: Optional[jax.Array] = None
+                         t_keys: Optional[jax.Array] = None,
+                         use_pallas: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Attention.self_attention / Time_Aware_Attention.{self,Tiself}_attention:
     num_blocks stacked self-attention hops (no FFN — the reference's
@@ -213,12 +267,12 @@ def self_attention_stack(blocks: List[Params], enc: jax.Array,
             enc, att_vec = time_aware_multihead_attention(
                 params, enc, enc, key_len, query_len, t_queries, t_keys,
                 num_heads=num_heads, dropout_rate=dropout_rate, train=train,
-                rng=block_rng)
+                rng=block_rng, use_pallas=use_pallas)
         elif kind == "tisas":
             enc, att_vec = tisas_multihead_attention(
                 params, enc, enc, key_len, query_len, t_queries, t_keys,
                 num_heads=num_heads, dropout_rate=dropout_rate, train=train,
-                rng=block_rng)
+                rng=block_rng, use_pallas=use_pallas)
         else:
             raise ValueError(f"unknown attention kind {kind!r}")
     return enc, att_vec
@@ -230,7 +284,8 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
                             num_heads: int, dropout_rate: float, train: bool,
                             rng: Optional[jax.Array] = None,
                             t_queries: Optional[jax.Array] = None,
-                            t_keys: Optional[jax.Array] = None) -> jax.Array:
+                            t_keys: Optional[jax.Array] = None,
+                            use_pallas: bool = False) -> jax.Array:
     """Decoder cross-attention hops; returns [B*Tq, d] like the
     reference's final reshape (multihead_attention.py:250,
     time_aware_attention.py:555)."""
@@ -244,7 +299,7 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
             dec, _ = time_aware_multihead_attention(
                 params, dec, enc, key_len, query_len, t_queries, t_keys,
                 num_heads=num_heads, dropout_rate=dropout_rate, train=train,
-                rng=block_rng)
+                rng=block_rng, use_pallas=use_pallas)
         else:
             raise ValueError(f"unknown attention kind {kind!r}")
     d = dec.shape[-1]

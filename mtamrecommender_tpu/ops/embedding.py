@@ -61,7 +61,11 @@ def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def behavior_embedding(params: Params, batch: Batch,
-                       gather=gather_rows) -> EmbeddedBatch:
+                       gather=gather_rows,
+                       use_pallas: bool = False) -> EmbeddedBatch:
+    if use_pallas and gather is gather_rows:
+        from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
+        gather = ek.gather
     user_emb = gather(params["user_table"], batch.user_id)
     item_emb = gather(params["item_table"], batch.items)
     cat_emb = gather(params["cat_table"], batch.cats)

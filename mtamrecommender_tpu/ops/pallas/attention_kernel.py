@@ -1,0 +1,206 @@
+"""Fused time-interval-biased attention kernel (Pallas TPU).
+
+Replaces the middle of `ops.attention.time_aware_multihead_attention` /
+`tisas_multihead_attention` (the jnp reference ports of
+`/root/reference/Model/Modules/time_aware_attention.py:215-456,73-214`):
+
+    scores   = Q K^T
+    time_qk  = tanh((Q_raw W_t) K_raw^T)            [time mode]
+    decay    = tanh(log1p|t_q - t_k| * w1 + b1)     [time mode]
+    gate     = wo1*decay + wo2*time_qk + bo         [time mode]
+    scores   = scores * sigmoid(gate) / sqrt(dh)    [time mode]
+    scores   = (scores + log1p|t_q - t_k|)/sqrt(dh) [tisas mode]
+    scores   = key-masked -> softmax -> out = W V
+
+Everything between the Q/K/V projections and the residual+layernorm tail
+runs in ONE kernel: the [Tq,Tk] score/gate intermediates never touch HBM,
+and the log-interval bias is computed per tile from the raw t_q/t_k hour
+vectors (the blockwise form SURVEY.md section 5.7 asks for — the
+position-indexed gate parameters are just another [Tq,Tk] tile input).
+
+Grid: one program per batch row; a whole (padded) [Tq,Tk] tile per
+program.  The reference workload is L<=150 (max_len cap,
+config/model_parameter.py:38) so a padded single tile always fits VMEM;
+rows longer than MAX_KEYS fall back to the jnp path.
+
+Backward: custom_vjp recomputes through the jnp reference middle — the
+parity tests (tests/test_pallas.py) pin the forward to the reference, so
+gradients stay consistent while the bwd kernel lands later.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_FILL = -(2.0 ** 32) + 1.0   # reference mask fill (multihead_attention.py:131)
+
+MAX_KEYS = 2048                 # single-tile VMEM guard; longer -> jnp path
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------- kernels
+
+def _attn_kernel(mode: str, scale: float,
+                 q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref, rawk_ref,
+                 w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref, klen_ref,
+                 out_ref):
+    """One batch row: fused gate + masked softmax + weighted sum."""
+    q = q_ref[0]            # [TQ, d]
+    k = k_ref[0]            # [TK, d]
+    v = v_ref[0]            # [TK, d]
+    tk_len = klen_ref[pl.program_id(0)]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    if mode in ("time", "tisas"):
+        # log-interval computed per tile from the hour vectors — never a
+        # [Tq,Tk] parameter in HBM
+        t_q = tq_ref[0]     # [TQ, 1]
+        t_k = tk_ref[0]     # [TK, 1]
+        logdt = jnp.log1p(jnp.abs(t_q - t_k.T))          # [TQ, TK]
+    if mode == "time":
+        tqw = tqw_ref[0]    # [TQ, d]  (raw queries @ W_t)
+        rawk = rawk_ref[0]  # [TK, d]
+        time_qk = jnp.tanh(jax.lax.dot_general(
+            tqw, rawk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        decay = jnp.tanh(logdt * w1_ref[:] + b1_ref[:])
+        gate = wo1_ref[:] * decay + wo2_ref[:] * time_qk + bo_ref[:]
+        scores = scores * jax.nn.sigmoid(gate) * scale
+    elif mode == "tisas":
+        scores = (scores + logdt) * scale
+    else:  # plain
+        scores = scores * scale
+
+    tk_total = scores.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < tk_len, scores, NEG_FILL)
+
+    # row softmax (numerically stable; padded key cols carry NEG_FILL)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    weights = e / denom
+
+    out_ref[0] = jnp.dot(weights, v, preferred_element_type=jnp.float32)
+
+
+def _pad_seq(x: jax.Array, length: int, axis: int) -> jax.Array:
+    pad = length - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
+                         w1, b1, wo1, wo2, bo, key_len):
+    """q: [B,Tq,d]; k,v: [B,Tk,d]; t_q: [B,Tq]; t_k: [B,Tk];
+    tqw: [B,Tq,d]; rawk: [B,Tk,d]; gate params: [Tq,Tk]; key_len: [B]."""
+    b_sz, tq, d = q.shape
+    tk = k.shape[1]
+    tqp = _round_up(tq, 8)
+    tkp = _round_up(tk, 128)
+    scale = 1.0 / (d ** 0.5)
+
+    qp = _pad_seq(q, tqp, 1)
+    kp = _pad_seq(k, tkp, 1)
+    vp = _pad_seq(v, tkp, 1)
+    tqv = _pad_seq(t_q, tqp, 1)[..., None]         # [B,Tqp,1]
+    tkv = _pad_seq(t_k, tkp, 1)[..., None]         # [B,Tkp,1]
+    tqwp = _pad_seq(tqw, tqp, 1)
+    rawkp = _pad_seq(rawk, tkp, 1)
+    gate = [_pad_seq(_pad_seq(g, tqp, 0), tkp, 1) for g in (w1, b1, wo1, wo2, bo)]
+
+    row3 = lambda t, dd: pl.BlockSpec((1, t, dd), lambda i: (i, 0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, mode, scale),
+        grid=(b_sz,),
+        in_specs=[
+            row3(tqp, d), row3(tkp, d), row3(tkp, d),
+            row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
+            full2, full2, full2, full2, full2,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] key_len
+        ],
+        out_specs=row3(tqp, d),
+        out_shape=jax.ShapeDtypeStruct((b_sz, tqp, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_sz * tqp * tkp * (2 * d + 8),
+            bytes_accessed=4 * b_sz * (2 * tqp * d + 3 * tkp * d),
+            transcendentals=b_sz * tqp * tkp * 4,
+        ),
+        # CPU (tests / virtual meshes): run the TPU kernel interpreted
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate, key_len.astype(jnp.int32))
+    return out[:, :tq, :]
+
+
+def _reference_middle(mode: str, q, k, v, t_q, t_k, tqw, rawk,
+                      w1, b1, wo1, wo2, bo, key_len):
+    """jnp twin of the kernel, used for the backward pass."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bqd,bkd->bqk", q, k)
+    if mode in ("time", "tisas"):
+        logdt = jnp.log1p(jnp.abs(t_q[:, :, None] - t_k[:, None, :]))
+    if mode == "time":
+        time_qk = jnp.tanh(jnp.einsum("bqd,bkd->bqk", tqw, rawk))
+        decay = jnp.tanh(logdt * w1 + b1)
+        gate = wo1 * decay + wo2 * time_qk + bo
+        scores = scores * jax.nn.sigmoid(gate) / (d ** 0.5)
+    elif mode == "tisas":
+        scores = (scores + logdt) / (d ** 0.5)
+    else:
+        scores = scores / (d ** 0.5)
+    col = jnp.arange(scores.shape[2])[None, None, :]
+    scores = jnp.where(col < key_len[:, None, None], scores, NEG_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", weights, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_attention(mode: str, q, k, v, t_q, t_k, tqw, rawk,
+                    w1, b1, wo1, wo2, bo, key_len):
+    """Fused scores->gate->softmax->weighted-sum middle.  Returns [B,Tq,d]."""
+    return _fused_attention_fwd(mode, q, k, v, t_q, t_k, tqw, rawk,
+                                w1, b1, wo1, wo2, bo, key_len)
+
+
+def _fa_fwd(mode, q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len):
+    out = _fused_attention_fwd(mode, q, k, v, t_q, t_k, tqw, rawk,
+                               w1, b1, wo1, wo2, bo, key_len)
+    return out, (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len)
+
+
+def _fa_bwd(mode, residuals, g):
+    (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len) = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, tqw_, rawk_, w1_, b1_, wo1_, wo2_, bo_:
+        _reference_middle(mode, q_, k_, v_, t_q, t_k, tqw_, rawk_,
+                          w1_, b1_, wo1_, wo2_, bo_, key_len),
+        q, k, v, tqw, rawk, w1, b1, wo1, wo2, bo)
+    dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = vjp(g)
+    return (dq, dk, dv, jnp.zeros_like(t_q), jnp.zeros_like(t_k),
+            dtqw, drawk, dw1, db1, dwo1, dwo2, dbo,
+            jnp.zeros_like(key_len))
+
+
+fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def supported(tk_len: int, num_heads: int) -> bool:
+    return num_heads == 1 and tk_len <= MAX_KEYS

@@ -29,6 +29,20 @@ from mtamrecommender_tpu.ops import initializers as init
 Params = Dict[str, jax.Array]
 
 
+def _pallas_scan(mode: str, params: Params, gate_x, cand_x, e1, e2,
+                 lengths, h0):
+    from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
+    units = params["b_cand"].shape[0]
+    if mode == "tgru":
+        vecs = jnp.stack([params["time_history_w1"], params["time_kernel_w2"],
+                          params["time_w12"], params["time_b12"]])
+    else:
+        vecs = jnp.zeros((4, units), gate_x.dtype)
+    return gk.gru_scan_vjp(mode, gate_x, cand_x, e1, e2, lengths, h0,
+                           params["w_gate_h"], params["w_cand_h"],
+                           params["b_gate"], params["b_cand"], vecs)
+
+
 # ---------------------------------------------------------------- plain GRU
 
 def init_gru(rng: jax.Array, input_dim: int, units: int,
@@ -83,7 +97,8 @@ def _masked_scan(step_fn, h0: jax.Array, xs, lengths: jax.Array,
 
 
 def gru_net(params: Params, inputs: jax.Array, lengths: jax.Array,
-            initial_state: Optional[jax.Array] = None) -> jax.Array:
+            initial_state: Optional[jax.Array] = None,
+            use_pallas: bool = False) -> jax.Array:
     """GRU.gru_net / gru_net_initial (gru.py:60-67,109-115).
 
     inputs: [B, L, d_in]; lengths: [B]; returns [B, L, units].
@@ -92,9 +107,12 @@ def gru_net(params: Params, inputs: jax.Array, lengths: jax.Array,
     units = params["b_cand"].shape[0]
     gate_x = jnp.einsum("bld,df->blf", inputs, params["w_gate_x"])
     cand_x = jnp.einsum("bld,df->blf", inputs, params["w_cand_x"])
-    xs = (jnp.transpose(gate_x, (1, 0, 2)), jnp.transpose(cand_x, (1, 0, 2)))
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
+    if use_pallas:
+        z = jnp.zeros_like(cand_x)
+        return _pallas_scan("plain", params, gate_x, cand_x, z, z, lengths, h0)
+    xs = (jnp.transpose(gate_x, (1, 0, 2)), jnp.transpose(cand_x, (1, 0, 2)))
 
     def step(h, x):
         gx, cx = x
@@ -150,7 +168,8 @@ def _tseqrec_time_states(params: Params, inputs: jax.Array,
 
 def tseqrec_net(params: Params, inputs: jax.Array, time_last: jax.Array,
                 time_now: jax.Array, lengths: jax.Array,
-                initial_state: Optional[jax.Array] = None) -> jax.Array:
+                initial_state: Optional[jax.Array] = None,
+                use_pallas: bool = False) -> jax.Array:
     """T-SeqRec (SLi-Rec style) time-aware GRU over a packed sequence.
 
     inputs: [B, L, d] behavior embeddings (WITHOUT the two appended time
@@ -162,10 +181,13 @@ def tseqrec_net(params: Params, inputs: jax.Array, time_last: jax.Array,
     sig_now, sig_last = _tseqrec_time_states(params, inputs, time_last, time_now)
     gate_x = jnp.einsum("bld,df->blf", inputs, params["w_gate_x"])
     cand_x = jnp.einsum("bld,df->blf", inputs, params["w_cand_x"])
-    xs = tuple(jnp.transpose(a, (1, 0, 2))
-               for a in (gate_x, cand_x, sig_now, sig_last))
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
+    if use_pallas:
+        return _pallas_scan("tseqrec", params, gate_x, cand_x, sig_now,
+                            sig_last, lengths, h0)
+    xs = tuple(jnp.transpose(a, (1, 0, 2))
+               for a in (gate_x, cand_x, sig_now, sig_last))
 
     def step(h, x):
         gx, cx, s_now, s_last = x
@@ -200,7 +222,8 @@ def init_tgru(rng: jax.Array, input_dim: int, units: int,
 
 def tgru_net(params: Params, inputs: jax.Array, time_last: jax.Array,
              time_now: jax.Array, lengths: jax.Array,
-             initial_state: Optional[jax.Array] = None) -> jax.Array:
+             initial_state: Optional[jax.Array] = None,
+             use_pallas: bool = False) -> jax.Array:
     """MTAM's T-GRU decay cell over a packed sequence
     (TimeAwareGRUCell_decay_new.call, time_aware_rnn.py:186-269).
 
@@ -221,9 +244,12 @@ def tgru_net(params: Params, inputs: jax.Array, time_last: jax.Array,
     xw = inputs * params["time_kernel_w1"] + params["time_kernel_b1"]
     score = jax.nn.relu(params["time_w1"] * time_last[..., None]
                         + params["time_b1"])
-    xs = tuple(jnp.transpose(a, (1, 0, 2)) for a in (gate_x, cand_x, xw, score))
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
+    if use_pallas:
+        return _pallas_scan("tgru", params, gate_x, cand_x, xw, score,
+                            lengths, h0)
+    xs = tuple(jnp.transpose(a, (1, 0, 2)) for a in (gate_x, cand_x, xw, score))
 
     def step(h, x):
         gx, cx, xw_t, score_t = x
@@ -240,15 +266,16 @@ def tgru_net(params: Params, inputs: jax.Array, time_last: jax.Array,
 def time_aware_gru_net(params: Params, cell_type: str, inputs: jax.Array,
                        time_last: jax.Array, time_now: jax.Array,
                        lengths: jax.Array,
-                       initial_state: Optional[jax.Array] = None) -> jax.Array:
+                       initial_state: Optional[jax.Array] = None,
+                       use_pallas: bool = False) -> jax.Array:
     """GRU.time_aware_gru_net dispatch (gru.py:69-77):
     'T-SeqRec' -> sigmoid cell, 'new' -> decay cell."""
     if cell_type == "T-SeqRec":
         return tseqrec_net(params, inputs, time_last, time_now, lengths,
-                           initial_state)
+                           initial_state, use_pallas=use_pallas)
     if cell_type == "new":
         return tgru_net(params, inputs, time_last, time_now, lengths,
-                        initial_state)
+                        initial_state, use_pallas=use_pallas)
     raise ValueError(f"unknown time-aware cell type {cell_type!r}")
 
 

@@ -1,0 +1,189 @@
+"""Pallas-kernel parity tests vs. the jnp reference paths (interpret mode
+on CPU — SURVEY.md section 4 'each Pallas kernel vs. a pure-jnp reference
+implementation').  Real-TPU execution is exercised by bench.py and
+__graft_entry__ on the driver side.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtamrecommender_tpu.config import ExperimentConfig
+from mtamrecommender_tpu.models import base as base_m
+from mtamrecommender_tpu.models.registry import get_model
+from mtamrecommender_tpu.ops import attention as att
+from mtamrecommender_tpu.ops import time_gru as tg
+from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
+
+from helpers import make_batch, make_meta
+
+
+# ------------------------------------------------------------ attention
+
+@pytest.fixture(scope="module")
+def att_inputs():
+    rng = np.random.RandomState(7)
+    B, L, d = 3, 50, 32
+    x = jnp.asarray(rng.randn(B, L, d).astype(np.float32))
+    t = jnp.asarray(np.sort(rng.rand(B, L).astype(np.float32) * 500, axis=1))
+    lengths = jnp.asarray(np.array([50, 23, 7], np.int32))
+    return x, t, lengths
+
+
+def test_time_attention_kernel_parity(att_inputs):
+    x, t, lengths = att_inputs
+    p = att.init_time_mha_block(jax.random.PRNGKey(1), x.shape[-1],
+                                x.shape[1], x.shape[1])
+    ref, _ = att.time_aware_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=1, train=False)
+    out, _ = att.time_aware_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=1, train=False,
+        use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_time_attention_kernel_single_query(att_inputs):
+    """MTAM's decoder path: Tq=1 (sublane-padded inside the kernel)."""
+    x, t, lengths = att_inputs
+    B, L, d = x.shape
+    p = att.init_time_mha_block(jax.random.PRNGKey(2), d, 1, L)
+    q, tq = x[:, :1], t[:, :1]
+    ones = jnp.ones((B,), jnp.int32)
+    ref, _ = att.time_aware_multihead_attention(
+        p, q, x, lengths, ones, tq, t, num_heads=1, train=False)
+    out, _ = att.time_aware_multihead_attention(
+        p, q, x, lengths, ones, tq, t, num_heads=1, train=False,
+        use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tisas_kernel_parity(att_inputs):
+    x, t, lengths = att_inputs
+    p = att.init_mha_block(jax.random.PRNGKey(3), x.shape[-1])
+    ref, _ = att.tisas_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=1, train=False)
+    out, _ = att.tisas_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=1, train=False,
+        use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_kernel_grad_parity(att_inputs):
+    x, t, lengths = att_inputs
+    p = att.init_time_mha_block(jax.random.PRNGKey(1), x.shape[-1],
+                                x.shape[1], x.shape[1])
+
+    def loss(pp, use_pallas):
+        o, _ = att.time_aware_multihead_attention(
+            pp, x, x, lengths, lengths, t, t, num_heads=1, train=False,
+            use_pallas=use_pallas)
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(lambda pp: loss(pp, False))(p)
+    g_pk = jax.grad(lambda pp: loss(pp, True))(p)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_multihead_fallback_when_unsupported(att_inputs):
+    """num_heads > 1 falls back to the jnp path (same result either way)."""
+    x, t, lengths = att_inputs
+    p = att.init_time_mha_block(jax.random.PRNGKey(4), x.shape[-1],
+                                x.shape[1], x.shape[1])
+    ref, _ = att.time_aware_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=2, train=False)
+    out, _ = att.time_aware_multihead_attention(
+        p, x, x, lengths, lengths, t, t, num_heads=2, train=False,
+        use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+# ------------------------------------------------------------ GRU scan
+
+@pytest.fixture(scope="module")
+def seq_inputs():
+    rng = np.random.RandomState(3)
+    B, L, d = 5, 12, 16
+    inputs = jnp.asarray(rng.randn(B, L, d).astype(np.float32))
+    tl = jnp.asarray(np.abs(rng.randn(B, L)).astype(np.float32))
+    tn = jnp.asarray(np.abs(rng.randn(B, L)).astype(np.float32))
+    lengths = jnp.asarray(np.array([12, 7, 1, 3, 9], np.int32))
+    return inputs, tl, tn, lengths
+
+
+@pytest.mark.parametrize("mode", ["plain", "tseqrec", "tgru"])
+def test_gru_scan_kernel_parity(mode, seq_inputs):
+    inputs, tl, tn, lengths = seq_inputs
+    d = inputs.shape[-1]
+    if mode == "plain":
+        p = tg.init_gru(jax.random.PRNGKey(0), d, d)
+        fn = lambda pp, up: tg.gru_net(pp, inputs, lengths, use_pallas=up)  # noqa: E731
+    elif mode == "tseqrec":
+        p = tg.init_tseqrec(jax.random.PRNGKey(1), d, d)
+        fn = lambda pp, up: tg.tseqrec_net(pp, inputs, tl, tn, lengths,  # noqa: E731
+                                           use_pallas=up)
+    else:
+        p = tg.init_tgru(jax.random.PRNGKey(2), d, d)
+        fn = lambda pp, up: tg.tgru_net(pp, inputs, tl, tn, lengths,  # noqa: E731
+                                        use_pallas=up)
+    np.testing.assert_allclose(np.asarray(fn(p, True)),
+                               np.asarray(fn(p, False)), rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(lambda pp: jnp.sum(fn(pp, False) ** 2))(p)
+    g_pk = jax.grad(lambda pp: jnp.sum(fn(pp, True) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gru_scan_initial_state(seq_inputs):
+    inputs, _, _, lengths = seq_inputs
+    d = inputs.shape[-1]
+    p = tg.init_gru(jax.random.PRNGKey(0), d, d)
+    h0 = jnp.asarray(np.random.RandomState(9).randn(inputs.shape[0], d)
+                     .astype(np.float32))
+    ref = tg.gru_net(p, inputs, lengths, initial_state=h0)
+    out = tg.gru_net(p, inputs, lengths, initial_state=h0, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------ embedding
+
+def test_embedding_gather_scatter_parity():
+    rng = np.random.RandomState(0)
+    V, d = 40, 16
+    table = jnp.asarray(rng.randn(V, d).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (6, 9)).astype(np.int32))
+    np.testing.assert_allclose(np.asarray(ek.gather(table, ids)),
+                               np.asarray(jnp.take(table, ids, axis=0)))
+    g_pk = jax.grad(lambda t: jnp.sum(jnp.sin(ek.gather(t, ids))))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.sin(jnp.take(t, ids, axis=0))))(table)
+    np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------------ end-to-end
+
+@pytest.mark.parametrize("name", ["MTAM", "Ti_Self_Attention_Model",
+                                  "NARM++"])
+def test_model_loss_parity_with_pallas(name):
+    meta = make_meta(item_count=50, max_seq_len=10)
+    batch = make_batch(meta, batch_size=4, seed=0, seq_lens=[5, 8, 10, 3])
+    cfg_ref = ExperimentConfig().with_overrides(**{
+        "model.num_units": 16, "model.num_blocks": 2,
+        "model.dropout": 0.0}).model
+    cfg_pk = ExperimentConfig().with_overrides(**{
+        "model.num_units": 16, "model.num_blocks": 2,
+        "model.dropout": 0.0, "model.use_pallas": True}).model
+    mdef = get_model(name)
+    params = mdef.init(jax.random.PRNGKey(0), cfg_ref, meta)
+    r = jax.random.PRNGKey(1)
+    l_ref = base_m.compute_loss(mdef, params, cfg_ref, batch, True, r)
+    l_pk = base_m.compute_loss(mdef, params, cfg_pk, batch, True, r)
+    np.testing.assert_allclose(float(l_pk["loss"]), float(l_ref["loss"]),
+                               rtol=1e-6)
