@@ -131,15 +131,48 @@ def bpr_loss(params: Params, out: ModelOutput, batch: Batch,
     return {"loss": loss, "ce": -rank_term, "l2": l2}
 
 
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast floating leaves of a pytree (mixed-precision helper)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def _compute_cast(cfg: ModelConfig, params: Params, batch: Batch):
+    """bfloat16 compute path: fp32 master params, bf16 activations and
+    matmuls (MXU-native), fp32 loss/softmax.  The reference is fp32-only
+    (TF 1.14); this is a TPU-native addition behind
+    ModelConfig.compute_dtype."""
+    if cfg.compute_dtype == "bfloat16":
+        return cast_floats(params, jnp.bfloat16), \
+            cast_floats(batch, jnp.bfloat16)
+    return params, batch
+
+
 def compute_loss(model: ModelDef, params: Params, cfg: ModelConfig,
                  batch: Batch, train: bool, rng: Optional[jax.Array],
                  valid_vocab: Optional[int] = None) -> Dict[str, jax.Array]:
     apply_rng, loss_rng = (jax.random.split(rng) if rng is not None
                            else (None, None))
-    out = model.apply(params, cfg, batch, train=train, rng=apply_rng)
+    params_c, batch_c = _compute_cast(cfg, params, batch)
+    out = model.apply(params_c, cfg, batch_c, train=train, rng=apply_rng)
+    if cfg.compute_dtype == "bfloat16":
+        # loss math in fp32: upcast predictions, lookups and the logits
+        # table; batch.valid/targets come from the ORIGINAL batch
+        out = ModelOutput(out.predict_emb.astype(jnp.float32),
+                          cast_floats(out.embedded, jnp.float32))
+        params_loss = dict(params_c)
+        params_loss["embedding"] = cast_floats(params_c["embedding"],
+                                                jnp.float32)
+        if "output_w" in params_loss:
+            params_loss["output_w"] = params_loss["output_w"].astype(
+                jnp.float32)
+    else:
+        params_loss = params
     if model.output_mode == "bpr":
-        return bpr_loss(params, out, batch, cfg, loss_rng, valid_vocab)
-    return softmax_ce_loss(params, out, batch, cfg, model.output_mode,
+        return bpr_loss(params_loss, out, batch, cfg, loss_rng, valid_vocab)
+    return softmax_ce_loss(params_loss, out, batch, cfg, model.output_mode,
                            valid_vocab)
 
 
@@ -147,6 +180,15 @@ def scores_for_eval(model: ModelDef, params: Params, cfg: ModelConfig,
                     batch: Batch, valid_vocab: Optional[int] = None
                     ) -> jax.Array:
     """Full-catalog ranking scores (metrics_topK / metrics_topK_concat)."""
-    out = model.apply(params, cfg, batch, train=False, rng=None)
+    params_c, batch_c = _compute_cast(cfg, params, batch)
+    out = model.apply(params_c, cfg, batch_c, train=False, rng=None)
     mode = "concat" if model.output_mode == "concat" else "plain"
-    return item_logits(params, out.predict_emb, mode, valid_vocab)
+    predict = out.predict_emb.astype(jnp.float32)
+    params_s = params
+    if cfg.compute_dtype == "bfloat16":
+        params_s = dict(params_c)
+        params_s["embedding"] = cast_floats(params_c["embedding"],
+                                             jnp.float32)
+        if "output_w" in params_s:
+            params_s["output_w"] = params_s["output_w"].astype(jnp.float32)
+    return item_logits(params_s, predict, mode, valid_vocab)

@@ -197,9 +197,16 @@ def _pallas_tail(params: Params, out: jax.Array, queries: jax.Array,
     return layers.normalize(params["ln"], out)
 
 
+def _f32(*arrays):
+    return tuple(a.astype(jnp.float32) for a in arrays)
+
+
 def _time_attention_pallas(params, queries, keys, key_len, query_len,
                            t_queries, t_keys):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    # kernels run fp32 (bf16 callers upcast here; the surrounding matmuls
+    # stay bf16)
+    queries, keys, t_queries, t_keys = _f32(queries, keys, t_queries, t_keys)
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
     v = layers.dense(params["v"], keys, jax.nn.relu)
@@ -216,6 +223,7 @@ def _time_attention_pallas(params, queries, keys, key_len, query_len,
 def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
                             t_queries, t_keys):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    queries, keys, t_queries, t_keys = _f32(queries, keys, t_queries, t_keys)
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
     v = layers.dense(params["v"], keys, jax.nn.relu)

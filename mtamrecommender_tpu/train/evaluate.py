@@ -50,6 +50,21 @@ def topk_metrics(scores: jax.Array, targets: jax.Array, valid: jax.Array,
     return out
 
 
+def auc(scores: jax.Array, targets: jax.Array, valid: jax.Array,
+        rng: jax.Array, num_negatives: int = 1) -> jax.Array:
+    """Pairwise AUC against sampled negatives — the reference's disabled
+    AUC path (Model/base_model.py:171-182, train_process.py:114-130)
+    made usable: P(score[target] > score[random negative])."""
+    b, v = scores.shape
+    neg = jax.random.randint(rng, (b, num_negatives), 0, v)
+    pos_s = jnp.take_along_axis(scores, targets[:, None], axis=1)
+    neg_s = jnp.take_along_axis(scores, neg, axis=1)
+    wins = (pos_s > neg_s).astype(jnp.float32) \
+        + 0.5 * (pos_s == neg_s).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(jnp.mean(wins, axis=1) * valid) / n
+
+
 def make_eval_step(model: ModelDef, cfg: ModelConfig,
                    ks: Sequence[int] = TOPK, valid_vocab: int = None):
     """One jit-compiled eval step: batch -> per-batch metric dict."""

@@ -121,6 +121,7 @@ class Trainer:
     test_data: PackedDataset
     run_dir: str = "data/runs/dev"
     use_tensorboard: bool = False
+    mesh: Any = None                  # jax.sharding.Mesh -> SPMD steps
     best: Dict[str, float] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -129,23 +130,49 @@ class Trainer:
                                  self.cfg.version)
         self.writer = MetricsWriter(self.run_dir, self.use_tensorboard)
         self.optimizer = make_optimizer(self.cfg.train)
-        valid_vocab = self.train_data.meta.item_vocab
-        self.train_step = make_train_step(self.model, self.cfg, self.optimizer,
-                                          valid_vocab)
-        self.eval_step = eval_lib.make_eval_step(self.model, self.cfg.model,
-                                                 self.cfg.train.topk,
-                                                 valid_vocab)
+        self.valid_vocab = self.train_data.meta.item_vocab
+        if self.mesh is None:
+            self.train_step = make_train_step(self.model, self.cfg,
+                                              self.optimizer, self.valid_vocab)
+            self.eval_step = eval_lib.make_eval_step(self.model, self.cfg.model,
+                                                     self.cfg.train.topk,
+                                                     self.valid_vocab)
+        else:
+            # mesh-annotated SPMD steps: DP batch + (optionally) EP tables
+            from mtamrecommender_tpu.parallel import dist_trainer
+            template = jax.eval_shape(
+                lambda r: self.model.init(r, self.cfg.model,
+                                          self.train_data.meta),
+                jax.random.PRNGKey(0))
+            self.train_step = dist_trainer.make_sharded_train_step(
+                self.model, self.cfg, self.optimizer, self.mesh, template,
+                self.valid_vocab)
+            self.eval_step = dist_trainer.make_sharded_eval_step(
+                self.model, self.cfg, self.mesh, template,
+                self.cfg.train.topk, self.valid_vocab)
         self.rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.np_rng = np.random.RandomState(self.cfg.train.seed)
+
+    def _place(self, batch: Batch) -> Batch:
+        if self.mesh is None:
+            return batch
+        from mtamrecommender_tpu.parallel import sharding as shard_lib
+        return shard_lib.place_batch(self.mesh, self.cfg.mesh, batch)
 
     def init_state(self) -> TrainState:
         init_rng, self.rng = jax.random.split(self.rng)
         params = self.model.init(init_rng, self.cfg.model, self.train_data.meta)
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from mtamrecommender_tpu.parallel import sharding as shard_lib
+            params = shard_lib.place_params(self.mesh, self.cfg.mesh, params)
+            opt_state = jax.device_put(
+                opt_state, shard_lib.replicated_tree(self.mesh, opt_state))
         return TrainState(params=params, opt_state=opt_state, step=0)
 
     def evaluate(self, state: TrainState) -> Dict[str, float]:
-        batches = batch_iterator(self.test_data, self.cfg.train.test_batch_size)
+        batches = ((s, self._place(b)) for s, b in batch_iterator(
+            self.test_data, self.cfg.train.test_batch_size))
         metrics = eval_lib.evaluate_dataset(self.eval_step, state.params,
                                             batches)
         # best-so-far maxima (train_process.py:279-288): hr and ndcg must
@@ -177,7 +204,8 @@ class Trainer:
                     rng=self.np_rng):
                 step_rng, self.rng = jax.random.split(self.rng)
                 state.params, state.opt_state, metrics = self.train_step(
-                    state.params, state.opt_state, batch, step_rng)
+                    state.params, state.opt_state, self._place(batch),
+                    step_rng)
                 state.step += 1
                 avg_loss += float(metrics["loss"])
                 seen += 1

@@ -201,3 +201,29 @@ def test_missing_checkpoint_raises(tmp_path):
     ckpt = Checkpointer(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         ckpt.restore(None)
+
+
+def test_auc_metric():
+    import jax
+    from mtamrecommender_tpu.train.evaluate import auc
+    scores = jnp.asarray([[10.0, 0.0, 0.0, 0.0],
+                          [0.0, 0.0, 0.0, -10.0]])
+    targets = jnp.asarray([0, 3])
+    valid = jnp.ones((2,))
+    # row 0 target always wins; row 1 target always loses
+    val = float(auc(scores, targets, valid, jax.random.PRNGKey(0),
+                    num_negatives=8))
+    assert 0.3 < val < 0.8
+
+
+def test_tb_archive_roundtrip(tmp_path):
+    from mtamrecommender_tpu.utils import tb_tools
+    run = tmp_path / "runs" / "exp1"
+    run.mkdir(parents=True)
+    (run / "events.jsonl").write_text('{"step": 1}\n')
+    written = tb_tools.archive_runs(str(tmp_path / "runs"),
+                                    str(tmp_path / "arch"))
+    assert len(written) == 1
+    out_root = tmp_path / "restored"
+    tb_tools.extract_archives(str(tmp_path / "arch"), str(out_root))
+    assert (out_root / "exp1" / "events.jsonl").exists()
