@@ -1,0 +1,156 @@
+"""Baseline measurement runs (SURVEY.md section 6 action item).
+
+The reference repo ships no numbers and its ml-1m ratings blob is absent
+from the snapshot (`/root/reference/.MISSING_LARGE_BLOBS`), so the
+comparison band is established on `ml1m_synth`: a synthetic behavior log
+at ml-1m scale (6040 users / 3706 items / zipf popularity / mixed
+minute-to-day gaps) built by data/ingest.load_synthetic with seed 1234.
+Every model trains at the reference hyperparameters (d=128, B=256,
+L=50, lr 1e-3 staircase decay — config/model_parameter.py:104-395) for
+--steps optimizer steps, then reports best HR@k/NDCG@k plus steady-state
+training throughput.
+
+Usage:  python benchmarks/run_baseline.py --models MTAM Gru4Rec --steps 2000
+Writes: benchmarks/results/baseline_{tag}.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ML1M_SCALE = {
+    "data.dataset": "synthetic",
+    "data.synth_users": 6040,
+    "data.synth_items": 3706,
+    "data.synth_categories": 18,
+    "data.synth_events_per_user": 40,
+    "data.max_seq_len": 50,
+    "data.user_count_limit": 10_000_000,
+}
+
+DEFAULT_MODELS = ["MTAM", "T_SeqRec", "Gru4Rec", "SASrec",
+                  "Ti_Self_Attention_Model", "NARM", "STAMP", "bpr"]
+
+
+def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
+            train, test, cfg_base) -> dict:
+    import jax
+
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu.train.trainer import Trainer
+
+    over = {"model.experiment_type": name}
+    if use_pallas:
+        over["model.use_pallas"] = True
+    if bf16:
+        over["model.compute_dtype"] = "bfloat16"
+    cfg = cfg_base.with_overrides(**over)
+    trainer = Trainer(cfg=cfg, model=get_model(name), train_data=train,
+                      test_data=test,
+                      run_dir=f"benchmarks/results/runs/{name}")
+    state = trainer.init_state()
+
+    # steady-state throughput: time steps 10..60 after warmup
+    from mtamrecommender_tpu.data.pipeline import batch_iterator
+    import numpy as np
+    bs = cfg.train.train_batch_size
+    warm = 10
+    t_start = None
+    timed_steps = 0
+    rng = np.random.RandomState(0)
+    t_wall = time.time()
+    while state.step < steps:
+        for _, batch in batch_iterator(train, bs, shuffle=True, rng=rng,
+                                       drop_remainder=True):
+            step_rng = jax.random.PRNGKey(state.step)
+            state.params, state.opt_state, metrics = trainer.train_step(
+                state.params, state.opt_state, batch, step_rng)
+            state.step += 1
+            if state.step == warm:
+                jax.block_until_ready(state.params)
+                t_start = time.time()
+            if state.step >= steps:
+                break
+        if state.step >= steps:
+            break
+    jax.block_until_ready(state.params)
+    timed_steps = state.step - warm
+    throughput = bs * timed_steps / (time.time() - t_start) \
+        if t_start and timed_steps > 0 else 0.0
+
+    m = trainer.evaluate(state)
+    return {
+        "model": name,
+        "steps": state.step,
+        "wall_s": round(time.time() - t_wall, 1),
+        "examples_per_s": round(throughput, 1),
+        "final_loss": float(metrics["loss"]),
+        **{k: round(v, 4) for k, v in m.items()},
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="+", default=DEFAULT_MODELS)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--tag", default="r1")
+    ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--num_units", type=int, default=128)
+    args = ap.parse_args()
+
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data import fastprep
+    from mtamrecommender_tpu.data.ingest import load_origin_data
+    from mtamrecommender_tpu.models.top_pop import eval_p_pop, eval_top_pop
+    from mtamrecommender_tpu.data.prepare import prepare_examples
+
+    cfg_base = ExperimentConfig().with_overrides(**{
+        **ML1M_SCALE,
+        "model.num_units": args.num_units,
+        "train.eval_freq": 10_000_000,     # eval once at the end
+        "train.display_freq": 500,
+    })
+    origin = load_origin_data(cfg_base.data)
+    print(f"events={len(origin)}", flush=True)
+    train, test, meta = fastprep.build_packed(origin, cfg_base.data)
+    print(f"train={len(train)} test={len(test)} items={meta.item_count}",
+          flush=True)
+
+    results = {"config": {"steps": args.steps, "use_pallas": args.use_pallas,
+                          "bf16": args.bf16, "num_units": args.num_units,
+                          "events": len(origin), "train": len(train),
+                          "test": len(test)},
+               "models": []}
+
+    # non-learned floors once (python example path needed for tuples)
+    prepared = prepare_examples(origin, cfg_base.data)
+    results["top_pop"] = {k: round(v, 4) for k, v in eval_top_pop(
+        prepared.train_set, prepared.test_set).items()}
+    results["p_pop"] = {k: round(v, 4) for k, v in eval_p_pop(
+        prepared.train_set, prepared.test_set).items()}
+    print("TopPop:", results["top_pop"], flush=True)
+
+    for name in args.models:
+        print(f"=== {name}", flush=True)
+        r = run_one(name, args.steps, args.use_pallas, args.bf16,
+                    train, test, cfg_base)
+        print(json.dumps(r), flush=True)
+        results["models"].append(r)
+        out = os.path.join("benchmarks", "results",
+                           f"baseline_{args.tag}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+    print("written", out, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -121,3 +121,50 @@ def test_figures_tsne_and_heatmap(prepared, tmp_path):
     out = figures.save_heatmap_figure(heat, str(tmp_path / "h.png"))
     if out is not None:
         assert os.path.exists(out)
+
+
+def test_recommender_serving(tmp_path):
+    """serve.Recommender: train briefly, checkpoint, restore, recommend."""
+    import jax
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data.pipeline import pack_examples
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu.serve import Recommender
+    from mtamrecommender_tpu.train.checkpoint import Checkpointer
+    from mtamrecommender_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.experiment_type": "MTAM", "model.num_units": 16,
+        "model.num_blocks": 1, "data.max_seq_len": 8,
+        "data.synth_users": 50, "data.synth_items": 30,
+        "data.synth_categories": 4, "data.synth_events_per_user": 10,
+        "data.dataset": "synthetic",
+        "train.train_batch_size": 32, "train.test_batch_size": 64,
+        "train.eval_freq": 1000})
+    prepared = prepare_examples(load_synthetic(cfg.data), cfg.data)
+    train = pack_examples(prepared.train_set, prepared.meta)
+    test = pack_examples(prepared.test_set, prepared.meta)
+    trainer = Trainer(cfg=cfg, model=get_model("MTAM"), train_data=train,
+                      test_data=test, run_dir=str(tmp_path / "run"))
+    state = trainer.fit(max_epochs=1, max_steps=5)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(state, wait=True)
+    ckpt.close()
+
+    rec = Recommender.from_checkpoint(cfg, prepared.meta,
+                                      str(tmp_path / "ckpt"))
+    hour = 3600.0
+    histories = [[(3, 1, 100 * hour), (5, 2, 120 * hour), (7, 1, 130 * hour)],
+                 [(2, 1, 90 * hour)]]
+    out = rec.recommend(histories, request_times=[140 * hour, 95 * hour], k=5)
+    assert len(out) == 2 and all(len(r) == 5 for r in out)
+    for recs, hist in zip(out, histories):
+        ids = [i for i, _ in recs]
+        assert len(set(ids)) == 5
+        # history exclusion
+        assert not (set(ids) & {e[0] for e in hist})
+        # scores sorted descending
+        scores = [s for _, s in recs]
+        assert scores == sorted(scores, reverse=True)
+        # recommendations stay inside the logical vocab
+        assert max(ids) < prepared.meta.item_vocab
