@@ -138,3 +138,29 @@ def test_sharded_matches_unsharded_training_trajectory(devices):
                     jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_embedding_engines_exact(devices):
+    """Explicit EP lookups (psum-assemble and all-to-all exchange,
+    parallel/embedding_shard.py) vs. the replicated gather."""
+    import jax
+    from mtamrecommender_tpu.parallel import embedding_shard as es
+
+    mesh = build_mesh(MeshConfig(model_axis_size=2))
+    rng = np.random.RandomState(0)
+    V, d = 64, 16
+    table = jnp.asarray(rng.randn(V, d).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 53, (8, 5)).astype(np.int32))
+    ref = jnp.take(table, ids, axis=0)
+
+    out = es.sharded_gather(mesh, table, ids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    out2 = es.sharded_gather_a2a(mesh, table, ids)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
+
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.sin(jnp.take(t, ids, axis=0))))(table)
+    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(es.sharded_gather(mesh, t, ids))))(table)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g_ref))
+    g2 = jax.grad(lambda t: jnp.sum(jnp.sin(
+        es.sharded_gather_a2a(mesh, t, ids))))(table)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g_ref))
