@@ -134,3 +134,31 @@ def batch_iterator(ds: PackedDataset, batch_size: int, *,
             break
         yield step, _slice_to_batch(ds, lo, hi, batch_size)
         step += 1
+
+
+def prefetch_to_device(batches: Iterator[Tuple[int, Batch]],
+                       size: int = 2,
+                       device=None) -> Iterator[Tuple[int, Batch]]:
+    """Double-buffered host->device transfer: keep ``size`` batches in
+    flight with `jax.device_put` so the next step's input lands on the
+    device while the current step computes (SURVEY.md section 2.6 'device
+    input pipeline': the replacement for the reference's synchronous
+    per-step feed_dict)."""
+    import collections
+
+    import jax
+
+    queue: collections.deque = collections.deque()
+
+    def put(item):
+        step, batch = item
+        placed = (jax.device_put(batch, device) if device is not None
+                  else jax.device_put(batch))
+        queue.append((step, placed))
+
+    for item in batches:
+        put(item)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

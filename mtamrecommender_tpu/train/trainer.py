@@ -27,7 +27,8 @@ import numpy as np
 import optax
 
 from mtamrecommender_tpu.config import ExperimentConfig, TrainConfig
-from mtamrecommender_tpu.data.pipeline import PackedDataset, batch_iterator
+from mtamrecommender_tpu.data.pipeline import (PackedDataset, batch_iterator,
+                                                prefetch_to_device)
 from mtamrecommender_tpu.models.base import ModelDef, compute_loss
 from mtamrecommender_tpu.train import evaluate as eval_lib
 from mtamrecommender_tpu.types import Batch
@@ -199,9 +200,11 @@ class Trainer:
         avg_loss, seen = 0.0, 0
         for epoch in range(epochs):
             epoch_start = time.time()
-            for _, batch in batch_iterator(
-                    self.train_data, cfg_t.train_batch_size, shuffle=True,
-                    rng=self.np_rng):
+            it = batch_iterator(self.train_data, cfg_t.train_batch_size,
+                                shuffle=True, rng=self.np_rng)
+            if self.mesh is None:
+                it = prefetch_to_device(it)
+            for _, batch in it:
                 step_rng, self.rng = jax.random.split(self.rng)
                 state.params, state.opt_state, metrics = self.train_step(
                     state.params, state.opt_state, self._place(batch),

@@ -119,3 +119,22 @@ def test_min_activity_filter():
         "time_stamp": range(8), "cat_id": [0] * 8})
     out = min_activity_filter(df, min_user=5, min_item=2)
     assert set(out["user_id"]) == {1}
+
+
+def test_prefetch_to_device_preserves_stream():
+    from mtamrecommender_tpu.data.pipeline import prefetch_to_device
+    import numpy as np
+    from mtamrecommender_tpu.data.prepare import prepare_examples
+    from mtamrecommender_tpu.data.ingest import load_synthetic
+    from mtamrecommender_tpu.config import DataConfig
+    cfg = DataConfig(dataset="synthetic", synth_users=20, synth_items=15,
+                     synth_categories=3, synth_events_per_user=8,
+                     max_seq_len=6)
+    prepared = prepare_examples(load_synthetic(cfg), cfg)
+    ds = pack_examples(prepared.train_set, prepared.meta)
+    plain = list(batch_iterator(ds, 16))
+    pre = list(prefetch_to_device(batch_iterator(ds, 16)))
+    assert [s for s, _ in plain] == [s for s, _ in pre]
+    for (_, a), (_, b) in zip(plain, pre):
+        np.testing.assert_array_equal(np.asarray(a.items), np.asarray(b.items))
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
