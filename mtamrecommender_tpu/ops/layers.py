@@ -88,6 +88,14 @@ def sequential_average_pooling(sequence: jax.Array, lengths: jax.Array) -> jax.A
     return jnp.mean(sequence * mask[:, :, None], axis=1)
 
 
+def sequential_max_pooling(sequence: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Masked max over time (net_utils.sequential_max_pooling:102-110);
+    padded positions are -inf so they never win."""
+    mask = sequence_mask(lengths, sequence.shape[1])[:, :, None]
+    neg = jnp.full_like(sequence, -(2.0 ** 32) + 1.0)
+    return jnp.max(jnp.where(mask, sequence, neg), axis=1)
+
+
 def dropout(rng: Optional[jax.Array], x: jax.Array, rate: float,
             train: bool) -> jax.Array:
     """tf.layers.dropout semantics (inverted dropout)."""

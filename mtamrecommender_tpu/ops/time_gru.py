@@ -129,6 +129,37 @@ def gru_net(params: Params, inputs: jax.Array, lengths: jax.Array,
     return _masked_scan(step, h0, xs, lengths, max_len)
 
 
+def init_bidirectional_gru(rng: jax.Array, input_dim: int, units: int,
+                           dtype=jnp.float32) -> Params:
+    kf, kb = jax.random.split(rng)
+    return {"fw": init_gru(kf, input_dim, units, dtype),
+            "bw": init_gru(kb, input_dim, units, dtype)}
+
+
+def bidirectional_gru_net(params: Params, inputs: jax.Array,
+                          lengths: jax.Array,
+                          use_pallas: bool = False) -> jax.Array:
+    """GRU.bidirectional_gru_net (gru.py:41-59): concat(fw, bw) states.
+
+    The backward pass reverses each row's VALID prefix (dynamic_rnn's
+    sequence-length-aware reversal), scans forward, and un-reverses.
+    """
+    fw = gru_net(params["fw"], inputs, lengths, use_pallas=use_pallas)
+
+    def reverse_valid(x):
+        # index i <- (lengths-1-i) for i < length, identity elsewhere
+        max_len = x.shape[1]
+        idx = jnp.arange(max_len)[None, :]
+        rev = jnp.where(idx < lengths[:, None],
+                        lengths[:, None] - 1 - idx, idx)
+        return jnp.take_along_axis(x, rev[:, :, None], axis=1)
+
+    bw_in = reverse_valid(inputs)
+    bw = gru_net(params["bw"], bw_in, lengths, use_pallas=use_pallas)
+    bw = reverse_valid(bw)
+    return jnp.concatenate([fw, bw], axis=-1)
+
+
 # ------------------------------------------------------------- T-SeqRec cell
 
 def init_tseqrec(rng: jax.Array, input_dim: int, units: int,

@@ -271,3 +271,47 @@ def test_dropout_train_vs_eval():
     assert 0.4 < frac_zero < 0.6
     kept = out_train[out_train != 0]
     np.testing.assert_allclose(kept, 2.0)  # inverted dropout scaling
+
+
+def test_sequential_max_pooling():
+    x = jnp.asarray(np.array([[[1.0], [5.0], [-2.0], [9.0]],
+                              [[3.0], [-1.0], [7.0], [8.0]]]))
+    out = _np(layers.sequential_max_pooling(x, jnp.asarray([2, 3])))
+    np.testing.assert_allclose(out, [[5.0], [7.0]])
+
+
+def test_bidirectional_gru_matches_numpy(seq_inputs):
+    inputs, _, _, lengths = seq_inputs
+    units = 5
+    p = time_gru.init_bidirectional_gru(jax.random.PRNGKey(4),
+                                        inputs.shape[-1], units)
+    out = _np(time_gru.bidirectional_gru_net(p, jnp.asarray(inputs),
+                                             jnp.asarray(lengths)))
+    assert out.shape == (*inputs.shape[:2], 2 * units)
+
+    def step(pp, x, h, t):
+        _, u, c = np_gru_step(pp, x, h)
+        return u * h + (1 - u) * c
+
+    fw = np_run(step, p["fw"], inputs, lengths, units)
+    np.testing.assert_allclose(out[..., :units], fw, rtol=1e-5, atol=1e-5)
+    # backward half: reverse each valid prefix, scan, un-reverse
+    B, L, _ = inputs.shape
+    rev_in = inputs.copy()
+    for b in range(B):
+        n = lengths[b]
+        rev_in[b, :n] = inputs[b, :n][::-1]
+    bw = np_run(step, p["bw"], rev_in, lengths, units)
+    for b in range(B):
+        n = lengths[b]
+        bw[b, :n] = bw[b, :n][::-1]
+    np.testing.assert_allclose(out[..., units:], bw, rtol=1e-5, atol=1e-5)
+
+
+def test_embedding_config_reader(tmp_path):
+    from mtamrecommender_tpu.utils.embedding_config import read_embedding_config
+    path = tmp_path / "emb.csv"
+    path.write_text("# comment\nitem_id,3706,128\ncat_id,18,128\n")
+    cfg = read_embedding_config(str(path))
+    assert list(cfg.items()) == [("item_id", (3706, 128)),
+                                 ("cat_id", (18, 128))]
