@@ -110,6 +110,32 @@ def make_train_step(model: ModelDef, cfg: ExperimentConfig,
     return train_step
 
 
+def make_device_train_step(model: ModelDef, cfg: ExperimentConfig,
+                           optimizer: optax.GradientTransformation,
+                           valid_vocab: int, batch_size: int):
+    """Train step with ON-DEVICE batch assembly: the whole dataset lives
+    in HBM and each step gathers its rows inside the jit region — zero
+    per-step host work (data/device_data.py)."""
+    from mtamrecommender_tpu.data.device_data import DeviceDataset, gather_batch
+
+    @jax.jit
+    def train_step(params, opt_state, data: DeviceDataset, order,
+                   step_index, rng):
+        batch = gather_batch(data, order, step_index, batch_size)
+
+        def loss_fn(p):
+            m = compute_loss(model, p, cfg.model, batch, True, rng,
+                             valid_vocab)
+            return m["loss"], m
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, metrics
+
+    return train_step
+
+
 # ------------------------------------------------------------ orchestration
 
 @dataclass
@@ -123,6 +149,7 @@ class Trainer:
     run_dir: str = "data/runs/dev"
     use_tensorboard: bool = False
     mesh: Any = None                  # jax.sharding.Mesh -> SPMD steps
+    device_resident: bool = True      # dataset in HBM, in-jit batch gather
     best: Dict[str, float] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -151,6 +178,13 @@ class Trainer:
             self.eval_step = dist_trainer.make_sharded_eval_step(
                 self.model, self.cfg, self.mesh, template,
                 self.cfg.train.topk, self.valid_vocab)
+        if self.mesh is None and self.device_resident:
+            self.device_train_step = make_device_train_step(
+                self.model, self.cfg, self.optimizer, self.valid_vocab,
+                self.cfg.train.train_batch_size)
+        else:
+            self.device_train_step = None
+        self._device_data = None
         self.rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.np_rng = np.random.RandomState(self.cfg.train.seed)
 
@@ -198,35 +232,72 @@ class Trainer:
         self.evaluate(state)  # initial eval (train_process.py:308)
         epochs = max_epochs if max_epochs is not None else cfg_t.max_epochs
         avg_loss, seen = 0.0, 0
+        use_device_data = self.device_train_step is not None
+        if use_device_data:
+            from mtamrecommender_tpu.data import device_data as dd
+            if self._device_data is None:
+                self._device_data = dd.to_device(self.train_data)
         for epoch in range(epochs):
             epoch_start = time.time()
-            it = batch_iterator(self.train_data, cfg_t.train_batch_size,
-                                shuffle=True, rng=self.np_rng)
-            if self.mesh is None:
-                it = prefetch_to_device(it)
-            for _, batch in it:
-                step_rng, self.rng = jax.random.split(self.rng)
-                state.params, state.opt_state, metrics = self.train_step(
-                    state.params, state.opt_state, self._place(batch),
-                    step_rng)
-                state.step += 1
-                avg_loss += float(metrics["loss"])
-                seen += 1
-                if state.step % cfg_t.display_freq == 0:
-                    self.writer.scalars(state.step, {
-                        "train_loss": float(metrics["loss"]),
-                        "ce": float(metrics["ce"]),
-                        "l2": float(metrics["l2"])})
-                if state.step % cfg_t.eval_freq == 0:
-                    self.logger.info("Global step %d  train_loss %.5f",
-                                     state.step, avg_loss / max(seen, 1))
-                    avg_loss, seen = 0.0, 0
-                    self.evaluate(state)
-                    if checkpointer is not None and \
-                            state.step % cfg_t.save_freq == 0:
-                        checkpointer.save(state)
-                if max_steps is not None and state.step >= max_steps:
-                    break
+            if use_device_data:
+                from mtamrecommender_tpu.data import device_data as dd
+                order_np, n_steps = dd.epoch_order(
+                    len(self.train_data), cfg_t.train_batch_size, self.np_rng)
+                order = jax.device_put(order_np)
+                for i in range(n_steps):
+                    step_rng, self.rng = jax.random.split(self.rng)
+                    state.params, state.opt_state, metrics = \
+                        self.device_train_step(state.params, state.opt_state,
+                                               self._device_data, order, i,
+                                               step_rng)
+                    state.step += 1
+                    # metrics are fetched only on cadence boundaries so the
+                    # loop never blocks on device->host sync per step
+                    if state.step % cfg_t.display_freq == 0:
+                        loss = float(metrics["loss"])
+                        avg_loss += loss
+                        seen += 1
+                        self.writer.scalars(state.step, {
+                            "train_loss": loss, "ce": float(metrics["ce"]),
+                            "l2": float(metrics["l2"])})
+                    if state.step % cfg_t.eval_freq == 0:
+                        self.logger.info("Global step %d  train_loss %.5f",
+                                         state.step, avg_loss / max(seen, 1))
+                        avg_loss, seen = 0.0, 0
+                        self.evaluate(state)
+                        if checkpointer is not None and \
+                                state.step % cfg_t.save_freq == 0:
+                            checkpointer.save(state)
+                    if max_steps is not None and state.step >= max_steps:
+                        break
+            else:
+                it = batch_iterator(self.train_data, cfg_t.train_batch_size,
+                                    shuffle=True, rng=self.np_rng)
+                if self.mesh is None:
+                    it = prefetch_to_device(it)
+                for _, batch in it:
+                    step_rng, self.rng = jax.random.split(self.rng)
+                    state.params, state.opt_state, metrics = self.train_step(
+                        state.params, state.opt_state, self._place(batch),
+                        step_rng)
+                    state.step += 1
+                    avg_loss += float(metrics["loss"])
+                    seen += 1
+                    if state.step % cfg_t.display_freq == 0:
+                        self.writer.scalars(state.step, {
+                            "train_loss": float(metrics["loss"]),
+                            "ce": float(metrics["ce"]),
+                            "l2": float(metrics["l2"])})
+                    if state.step % cfg_t.eval_freq == 0:
+                        self.logger.info("Global step %d  train_loss %.5f",
+                                         state.step, avg_loss / max(seen, 1))
+                        avg_loss, seen = 0.0, 0
+                        self.evaluate(state)
+                        if checkpointer is not None and \
+                                state.step % cfg_t.save_freq == 0:
+                            checkpointer.save(state)
+                    if max_steps is not None and state.step >= max_steps:
+                        break
             self.logger.info("epoch %d done in %.2fs (step %d)", epoch,
                              time.time() - epoch_start, state.step)
             if max_steps is not None and state.step >= max_steps:

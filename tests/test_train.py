@@ -227,3 +227,21 @@ def test_tb_archive_roundtrip(tmp_path):
     out_root = tmp_path / "restored"
     tb_tools.extract_archives(str(tmp_path / "arch"), str(out_root))
     assert (out_root / "exp1" / "events.jsonl").exists()
+
+
+def test_device_resident_path_matches_host_path(synth_data, tmp_path):
+    """The in-jit batch-gather path must reproduce the host pipeline's
+    trajectory exactly (same shuffle stream, same padding semantics)."""
+    train, test = synth_data
+    results = []
+    for device_resident in (False, True):
+        cfg = _tiny_cfg("Gru4Rec", **{"model.dropout": 0.0})
+        trainer = Trainer(cfg=cfg, model=get_model("Gru4Rec"),
+                          train_data=train, test_data=test,
+                          run_dir=str(tmp_path / f"run{device_resident}"),
+                          device_resident=device_resident)
+        state = trainer.fit(max_epochs=1, max_steps=9)
+        results.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
