@@ -145,7 +145,68 @@ def load_synthetic(cfg: DataConfig) -> pd.DataFrame:
     return df
 
 
+def load_synthetic_sessions(cfg: DataConfig) -> pd.DataFrame:
+    """Synthetic log with TIME-DEPENDENT dynamics, so the time-aware
+    models have signal to exploit (unlike `load_synthetic`, whose tastes
+    are static — BASELINE.md caveat):
+
+      * behavior arrives in sessions: minute-scale gaps inside a session,
+        day-scale gaps between sessions;
+      * each session locks onto one category (Markov drift between
+        sessions), and items are drawn zipf-wise within it — so a SHORT
+        timelast predicts same-category continuation while a LONG gap
+        predicts a category switch;
+      * recent items are re-consumed with decaying probability — so
+        timenow carries rank information.
+    """
+    rng = np.random.RandomState(cfg.seed)
+    users, items = cfg.synth_users, cfg.synth_items
+    cats = cfg.synth_categories
+    item_cat = rng.randint(0, cats, size=items)
+    items_by_cat = [np.nonzero(item_cat == c)[0] for c in range(cats)]
+    # zipf weights within each category
+    weights_by_cat = []
+    for c in range(cats):
+        n = len(items_by_cat[c])
+        w = 1.0 / (np.arange(1, n + 1) ** 0.9) if n else np.zeros(0)
+        weights_by_cat.append(w / w.sum() if n else w)
+    rows = []
+    base_time = 1_000_000_000
+    for u in range(users):
+        taste = rng.dirichlet(np.ones(cats) * 0.3)
+        n_events = max(4, int(rng.poisson(cfg.synth_events_per_user)))
+        t = base_time + int(rng.randint(0, 86400))
+        cat = int(rng.choice(cats, p=taste))
+        recent: list = []
+        emitted = 0
+        while emitted < n_events:
+            # one session in category `cat`
+            session_len = min(1 + rng.poisson(3), n_events - emitted)
+            for _ in range(session_len):
+                if recent and rng.rand() < 0.25:
+                    item = recent[-1 - rng.randint(0, min(len(recent), 5))]
+                else:
+                    pool = items_by_cat[cat]
+                    if len(pool) == 0:
+                        item = int(rng.randint(0, items))
+                    else:
+                        item = int(rng.choice(pool, p=weights_by_cat[cat]))
+                rows.append((u, item, t, int(item_cat[item])))
+                recent.append(item)
+                emitted += 1
+                t += int(rng.choice([30, 60, 180, 600],
+                                    p=[.3, .35, .25, .1]))
+            # between sessions: long gap + possible interest drift
+            t += int(rng.choice([4 * 3600, 86400, 3 * 86400, 7 * 86400],
+                                p=[.3, .4, .2, .1]))
+            if rng.rand() < 0.6:
+                cat = int(rng.choice(cats, p=taste))
+    return pd.DataFrame(rows,
+                        columns=["user_id", "item_id", "time_stamp", "cat_id"])
+
+
 _LOADERS: Dict[str, Callable[[DataConfig], pd.DataFrame]] = {
+    "synthetic_sessions": load_synthetic_sessions,
     "ml_1m": load_ml_1m,
     "movielen": load_ml_1m,
     "synthetic": load_synthetic,

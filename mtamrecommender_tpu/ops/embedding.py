@@ -63,9 +63,12 @@ def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
 def behavior_embedding(params: Params, batch: Batch,
                        gather=gather_rows,
                        use_pallas: bool = False) -> EmbeddedBatch:
-    if use_pallas and gather is gather_rows:
-        from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
-        gather = ek.gather
+    # NOTE: use_pallas deliberately does NOT route the lookups through
+    # ops/pallas/embedding_kernel.gather — XLA's fused gather is already
+    # at HBM roofline for d=128 rows, and the per-row-DMA kernel is a
+    # demonstration of the primitive, not a win at these shapes.  Pass
+    # gather=embedding_kernel.gather explicitly to use it.
+    del use_pallas
     user_emb = gather(params["user_table"], batch.user_id)
     item_emb = gather(params["item_table"], batch.items)
     cat_emb = gather(params["cat_table"], batch.cats)

@@ -2,11 +2,12 @@
 
 The north-star sharded-embedding engine names these two primitives
 (BASELINE.json: "Fused Pallas kernels cover embedding gather/scatter-grad").
-The lookup walks one id per grid step with the row address computed from a
-scalar-prefetched id vector (`PrefetchScalarGridSpec`), so the row DMA for
-step i+1 is issued while step i computes — the table itself never leaves
-HBM.  The gradient kernel exploits the TPU grid's sequential execution
-order to accumulate duplicate ids without atomics.
+Rows live in HBM and move by explicit per-row async DMA with the row
+address taken from a scalar-prefetched id vector — the table never
+streams through VMEM, and consecutive grid steps overlap DMA issue with
+the previous row's completion (2-deep rotation).  The gradient kernel
+exploits the TPU grid's sequential execution order to accumulate
+duplicate ids without atomics (read row, add, write back).
 
 These are correctness-complete and flag-guarded; XLA's native gather /
 scatter-add remains the default path (`ops.embedding.gather_rows`) — at
@@ -29,9 +30,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(ids_ref, table_row_ref, out_ref):
-    del ids_ref
-    out_ref[...] = table_row_ref[...]
+def _gather_kernel(ids_ref, table_ref, out_ref, sems):
+    """Grid step i: DMA table[ids[i]] -> out[i], double-buffered."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def dma(step, s):
+        return pltpu.make_async_copy(table_ref.at[ids_ref[step]],
+                                     out_ref.at[step], sems.at[s])
+
+    @pl.when(i == 0)
+    def _warmup():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _issue_next():
+        dma(i + 1, 1 - slot).start()
+
+    dma(i, slot).wait()
 
 
 @jax.jit
@@ -41,26 +58,36 @@ def _gather_impl(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, d), lambda i, ids: (ids[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, d), lambda i, ids: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
     )(flat_ids.astype(jnp.int32), table)
 
 
-def _scatter_kernel(ids_ref, grad_ref, zeros_ref, out_ref):
-    del ids_ref, zeros_ref
-    # the grid runs sequentially on a TensorCore: read-modify-write per id
-    # is race-free (duplicate ids accumulate across steps)
-    out_ref[...] += grad_ref[...]
+def _scatter_kernel(ids_ref, grad_ref, zeros_ref, out_ref, row_vmem,
+                    grad_vmem, sems):
+    """Grid step i (sequential): out[ids[i]] += grad[i] via
+    DMA-in / add / DMA-out."""
+    del zeros_ref
+    i = pl.program_id(0)
+    row_id = ids_ref[i]
+    in_dma = pltpu.make_async_copy(out_ref.at[row_id], row_vmem, sems.at[0])
+    g_dma = pltpu.make_async_copy(grad_ref.at[i], grad_vmem, sems.at[1])
+    in_dma.start()
+    g_dma.start()
+    in_dma.wait()
+    g_dma.wait()
+    row_vmem[...] = row_vmem[...] + grad_vmem[...]
+    out_dma = pltpu.make_async_copy(row_vmem, out_ref.at[row_id], sems.at[2])
+    out_dma.start()
+    out_dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("vocab",))
@@ -72,18 +99,22 @@ def _scatter_add_impl(grad: jax.Array, flat_ids: jax.Array,
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i, ids: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i, ids: (ids[i], 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((d,), grad.dtype),
+            pltpu.VMEM((d,), grad.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
     )
     return pl.pallas_call(
         _scatter_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((vocab, d), grad.dtype),
         input_output_aliases={2: 0},   # zeros buffer -> accumulated output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() != "tpu",
     )(flat_ids.astype(jnp.int32), grad, zeros)
 

@@ -138,3 +138,24 @@ def test_prefetch_to_device_preserves_stream():
     for (_, a), (_, b) in zip(plain, pre):
         np.testing.assert_array_equal(np.asarray(a.items), np.asarray(b.items))
         np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_synthetic_sessions_generator():
+    from mtamrecommender_tpu.data.ingest import load_synthetic_sessions
+    cfg = DataConfig(dataset="synthetic_sessions", synth_users=30,
+                     synth_items=40, synth_categories=5,
+                     synth_events_per_user=15)
+    df = load_synthetic_sessions(cfg)
+    assert set(df.columns) == {"user_id", "item_id", "time_stamp", "cat_id"}
+    assert df.user_id.nunique() == 30
+    # per-user timestamps strictly increase
+    for _, g in df.groupby("user_id"):
+        t = g.time_stamp.values
+        assert (np.diff(t) > 0).all()
+    # session structure: both minute-scale and day-scale gaps exist
+    gaps = np.concatenate([np.diff(g.time_stamp.values)
+                           for _, g in df.groupby("user_id")])
+    assert (gaps < 3600).any() and (gaps > 12 * 3600).any()
+    # deterministic for a fixed seed
+    df2 = load_synthetic_sessions(cfg)
+    assert df.equals(df2)
