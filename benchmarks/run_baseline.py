@@ -100,6 +100,9 @@ def main() -> int:
     ap.add_argument("--models", nargs="+", default=DEFAULT_MODELS)
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--tag", default="r1")
+    ap.add_argument("--dataset", default="synthetic",
+                    help="synthetic | synthetic_sessions")
+    ap.add_argument("--events_per_user", type=int, default=40)
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--num_units", type=int, default=128)
@@ -113,6 +116,8 @@ def main() -> int:
 
     cfg_base = ExperimentConfig().with_overrides(**{
         **ML1M_SCALE,
+        "data.dataset": args.dataset,
+        "data.synth_events_per_user": args.events_per_user,
         "model.num_units": args.num_units,
         "train.eval_freq": 10_000_000,     # eval once at the end
         "train.display_freq": 500,

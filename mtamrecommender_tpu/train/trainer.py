@@ -231,14 +231,43 @@ class Trainer:
         state = state or self.init_state()
         self.evaluate(state)  # initial eval (train_process.py:308)
         epochs = max_epochs if max_epochs is not None else cfg_t.max_epochs
-        avg_loss, seen = 0.0, 0
+        self._avg_loss, self._seen = 0.0, 0
         use_device_data = self.device_train_step is not None
         if use_device_data:
             from mtamrecommender_tpu.data import device_data as dd
             if self._device_data is None:
                 self._device_data = dd.to_device(self.train_data)
+
+        def on_step(metrics, fetch_every_step: bool) -> bool:
+            """Shared display/eval/save cadence; returns True to stop.
+            On the device-resident path metrics are fetched only on
+            cadence boundaries so the loop never syncs per step."""
+            state.step += 1
+            if fetch_every_step:
+                self._avg_loss += float(metrics["loss"])
+                self._seen += 1
+            if state.step % cfg_t.display_freq == 0:
+                loss = float(metrics["loss"])
+                if not fetch_every_step:
+                    self._avg_loss += loss
+                    self._seen += 1
+                self.writer.scalars(state.step, {
+                    "train_loss": loss, "ce": float(metrics["ce"]),
+                    "l2": float(metrics["l2"])})
+            if state.step % cfg_t.eval_freq == 0:
+                self.logger.info("Global step %d  train_loss %.5f",
+                                 state.step,
+                                 self._avg_loss / max(self._seen, 1))
+                self._avg_loss, self._seen = 0.0, 0
+                self.evaluate(state)
+                if checkpointer is not None and \
+                        state.step % cfg_t.save_freq == 0:
+                    checkpointer.save(state)
+            return max_steps is not None and state.step >= max_steps
+
         for epoch in range(epochs):
             epoch_start = time.time()
+            stop = False
             if use_device_data:
                 from mtamrecommender_tpu.data import device_data as dd
                 order_np, n_steps = dd.epoch_order(
@@ -250,25 +279,8 @@ class Trainer:
                         self.device_train_step(state.params, state.opt_state,
                                                self._device_data, order, i,
                                                step_rng)
-                    state.step += 1
-                    # metrics are fetched only on cadence boundaries so the
-                    # loop never blocks on device->host sync per step
-                    if state.step % cfg_t.display_freq == 0:
-                        loss = float(metrics["loss"])
-                        avg_loss += loss
-                        seen += 1
-                        self.writer.scalars(state.step, {
-                            "train_loss": loss, "ce": float(metrics["ce"]),
-                            "l2": float(metrics["l2"])})
-                    if state.step % cfg_t.eval_freq == 0:
-                        self.logger.info("Global step %d  train_loss %.5f",
-                                         state.step, avg_loss / max(seen, 1))
-                        avg_loss, seen = 0.0, 0
-                        self.evaluate(state)
-                        if checkpointer is not None and \
-                                state.step % cfg_t.save_freq == 0:
-                            checkpointer.save(state)
-                    if max_steps is not None and state.step >= max_steps:
+                    if on_step(metrics, fetch_every_step=False):
+                        stop = True
                         break
             else:
                 it = batch_iterator(self.train_data, cfg_t.train_batch_size,
@@ -280,27 +292,12 @@ class Trainer:
                     state.params, state.opt_state, metrics = self.train_step(
                         state.params, state.opt_state, self._place(batch),
                         step_rng)
-                    state.step += 1
-                    avg_loss += float(metrics["loss"])
-                    seen += 1
-                    if state.step % cfg_t.display_freq == 0:
-                        self.writer.scalars(state.step, {
-                            "train_loss": float(metrics["loss"]),
-                            "ce": float(metrics["ce"]),
-                            "l2": float(metrics["l2"])})
-                    if state.step % cfg_t.eval_freq == 0:
-                        self.logger.info("Global step %d  train_loss %.5f",
-                                         state.step, avg_loss / max(seen, 1))
-                        avg_loss, seen = 0.0, 0
-                        self.evaluate(state)
-                        if checkpointer is not None and \
-                                state.step % cfg_t.save_freq == 0:
-                            checkpointer.save(state)
-                    if max_steps is not None and state.step >= max_steps:
+                    if on_step(metrics, fetch_every_step=True):
+                        stop = True
                         break
             self.logger.info("epoch %d done in %.2fs (step %d)", epoch,
                              time.time() - epoch_start, state.step)
-            if max_steps is not None and state.step >= max_steps:
+            if stop:
                 break
         self.evaluate(state)
         for k in self.cfg.train.topk:
