@@ -168,3 +168,34 @@ def test_recommender_serving(tmp_path):
         assert scores == sorted(scores, reverse=True)
         # recommendations stay inside the logical vocab
         assert max(ids) < prepared.meta.item_vocab
+
+
+def test_fleet_single_experiment(tmp_path, monkeypatch):
+    """fleet.main launches one CLI subprocess and reports success."""
+    import os
+    import subprocess
+    import sys
+    monkeypatch.chdir(tmp_path)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    # force the subprocess onto CPU: without PALLAS_AXON_POOL_IPS the
+    # site hook skips TPU registration and JAX_PLATFORMS applies
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # run the fleet driver itself as a subprocess so cwd/log capture are real
+    proc = subprocess.run(
+        [sys.executable, "-m", "mtamrecommender_tpu.fleet",
+         "--datasets", "synthetic", "--models", "bpr", "--max_steps", "3",
+         "--run_root", str(tmp_path / "runs"),
+         "--log_dir", str(tmp_path / "logs"),
+         "--set", "data.synth_users=40", "--set", "data.synth_items=25",
+         "--set", "data.max_seq_len=6", "--set", "model.num_units=8",
+         "--set", "train.train_batch_size=16",
+         "--set", "train.test_batch_size=32",
+         "--set", "train.eval_freq=1000"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "finished synthetic/bpr: ok" in proc.stdout
+    log = (tmp_path / "logs" / "synthetic_bpr.log").read_text()
+    assert "done at step 3" in log
