@@ -37,6 +37,11 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,9 +72,13 @@ def main() -> int:
             p, x, x, ln, ln, t, t, num_heads=1, train=False,
             use_pallas=True)[0]
 
-    results["ops"]["time_attention_self"] = {
-        "jnp_ms": round(timeit(att_ref, p_att, x, t, lengths) * 1e3, 3),
-        "pallas_ms": round(timeit(att_pk, p_att, x, t, lengths) * 1e3, 3)}
+    print("timing time_attention_self jnp...", flush=True)
+    jnp_ms = round(timeit(att_ref, p_att, x, t, lengths) * 1e3, 3)
+    print("  jnp", jnp_ms, "ms; compiling pallas...", flush=True)
+    pk_ms = round(timeit(att_pk, p_att, x, t, lengths) * 1e3, 3)
+    print("  pallas", pk_ms, "ms", flush=True)
+    results["ops"]["time_attention_self"] = {"jnp_ms": jnp_ms,
+                                             "pallas_ms": pk_ms}
 
     # --- single-query readout (MTAM decoder hop) ---
     p_att1 = att.init_time_mha_block(jax.random.PRNGKey(2), d, 1, L)
@@ -87,9 +96,13 @@ def main() -> int:
             p, q, x, lengths, ones, tq1, t, num_heads=1, train=False,
             use_pallas=True)[0]
 
-    results["ops"]["time_attention_1q"] = {
-        "jnp_ms": round(timeit(att1_ref, p_att1, q1, x, t) * 1e3, 3),
-        "pallas_ms": round(timeit(att1_pk, p_att1, q1, x, t) * 1e3, 3)}
+    print("timing time_attention_1q...", flush=True)
+    jnp_ms = round(timeit(att1_ref, p_att1, q1, x, t) * 1e3, 3)
+    print("  jnp", jnp_ms, flush=True)
+    pk_ms = round(timeit(att1_pk, p_att1, q1, x, t) * 1e3, 3)
+    print("  pallas", pk_ms, flush=True)
+    results["ops"]["time_attention_1q"] = {"jnp_ms": jnp_ms,
+                                           "pallas_ms": pk_ms}
 
     # --- T-GRU scan ---
     p_gru = tg.init_tgru(jax.random.PRNGKey(3), d, d)
@@ -102,9 +115,12 @@ def main() -> int:
     def gru_pk(p, x, tl, tn, ln):
         return tg.tgru_net(p, x, tl, tn, ln, use_pallas=True)
 
-    results["ops"]["tgru_scan"] = {
-        "jnp_ms": round(timeit(gru_ref, p_gru, x, tl, tn, lengths) * 1e3, 3),
-        "pallas_ms": round(timeit(gru_pk, p_gru, x, tl, tn, lengths) * 1e3, 3)}
+    print("timing tgru_scan...", flush=True)
+    jnp_ms = round(timeit(gru_ref, p_gru, x, tl, tn, lengths) * 1e3, 3)
+    print("  jnp", jnp_ms, flush=True)
+    pk_ms = round(timeit(gru_pk, p_gru, x, tl, tn, lengths) * 1e3, 3)
+    print("  pallas", pk_ms, flush=True)
+    results["ops"]["tgru_scan"] = {"jnp_ms": jnp_ms, "pallas_ms": pk_ms}
 
     # --- full MTAM train step variants ---
     from __graft_entry__ import _make_batch
@@ -125,6 +141,7 @@ def main() -> int:
     }
     step_ms = {}
     for vname, over in variants.items():
+        print("compiling mtam_step", vname, flush=True)
         cfg = ExperimentConfig().with_overrides(**{
             "model.experiment_type": "MTAM", "model.num_units": d,
             "model.num_blocks": 3, "model.vocab_pad_multiple": 128, **over})
