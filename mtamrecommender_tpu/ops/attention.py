@@ -197,16 +197,11 @@ def _pallas_tail(params: Params, out: jax.Array, queries: jax.Array,
     return layers.normalize(params["ln"], out)
 
 
-def _f32(*arrays):
-    return tuple(a.astype(jnp.float32) for a in arrays)
-
-
 def _time_attention_pallas(params, queries, keys, key_len, query_len,
                            t_queries, t_keys):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
-    # kernels run fp32 (bf16 callers upcast here; the surrounding matmuls
-    # stay bf16)
-    queries, keys, t_queries, t_keys = _f32(queries, keys, t_queries, t_keys)
+    # the kernel is dtype-polymorphic: bf16 operands feed the MXU
+    # natively, softmax/gate accumulate in f32 inside
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
     v = layers.dense(params["v"], keys, jax.nn.relu)
@@ -216,14 +211,13 @@ def _time_attention_pallas(params, queries, keys, key_len, query_len,
         "time", q, k, v, t_queries, t_keys, tqw, keys,
         params["time_input_w1"], params["time_input_b1"],
         params["time_output_w1"], params["time_output_w2"],
-        params["time_output_b"], key_len)
+        params["time_output_b"], key_len).astype(queries.dtype)
     return _pallas_tail(params, out, queries, query_len), None
 
 
 def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
                             t_queries, t_keys):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
-    queries, keys, t_queries, t_keys = _f32(queries, keys, t_queries, t_keys)
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
     v = layers.dense(params["v"], keys, jax.nn.relu)
@@ -231,7 +225,8 @@ def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
     zg = jnp.zeros((queries.shape[1], keys.shape[1]), q.dtype)
     out = pk.fused_attention(
         "tisas", q, k, v, t_queries, t_keys, jnp.zeros_like(q),
-        jnp.zeros_like(k), zg, zg, zg, zg, zg, key_len)
+        jnp.zeros_like(k), zg, zg, zg, zg, zg,
+        key_len).astype(queries.dtype)
     return _pallas_tail(params, out, queries, query_len), None
 
 

@@ -54,11 +54,13 @@ def _attn_kernel(mode: str, scale: float,
                  w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref, klen_ref,
                  out_ref):
     """One batch row: fused gate + masked softmax + weighted sum."""
-    q = q_ref[0]            # [TQ, d]
+    q = q_ref[0]            # [TQ, d]  (f32 or bf16)
     k = k_ref[0]            # [TK, d]
     v = v_ref[0]            # [TK, d]
     tk_len = klen_ref[pl.program_id(0)]
 
+    # MXU consumes the input dtype (bf16-native under mixed precision);
+    # scores/softmax accumulate in f32
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -74,8 +76,11 @@ def _attn_kernel(mode: str, scale: float,
         time_qk = jnp.tanh(jax.lax.dot_general(
             tqw, rawk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))
-        decay = jnp.tanh(logdt * w1_ref[:] + b1_ref[:])
-        gate = wo1_ref[:] * decay + wo2_ref[:] * time_qk + bo_ref[:]
+        decay = jnp.tanh(logdt * w1_ref[:].astype(jnp.float32)
+                         + b1_ref[:].astype(jnp.float32))
+        gate = (wo1_ref[:].astype(jnp.float32) * decay
+                + wo2_ref[:].astype(jnp.float32) * time_qk
+                + bo_ref[:].astype(jnp.float32))
         scores = scores * jax.nn.sigmoid(gate) * scale
     elif mode == "tisas":
         scores = (scores + logdt) * scale
@@ -92,7 +97,8 @@ def _attn_kernel(mode: str, scale: float,
     denom = jnp.sum(e, axis=1, keepdims=True)
     weights = e / denom
 
-    out_ref[0] = jnp.dot(weights, v, preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(weights.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
 
 
 def _pad_seq(x: jax.Array, length: int, axis: int) -> jax.Array:
@@ -111,9 +117,12 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
     tqw: [B,Tq,d]; rawk: [B,Tk,d]; gate params: [Tq,Tk]; key_len: [B]."""
     b_sz, tq, d = q.shape
     tk = k.shape[1]
-    tqp = _round_up(tq, 8)
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    tqp = _round_up(tq, sublane)
     tkp = _round_up(tk, 128)
     scale = 1.0 / (d ** 0.5)
+    t_q = t_q.astype(jnp.float32)
+    t_k = t_k.astype(jnp.float32)
 
     qp = _pad_seq(q, tqp, 1)
     kp = _pad_seq(k, tkp, 1)
@@ -188,6 +197,9 @@ def _fa_fwd(mode, q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len):
 
 def _fa_bwd(mode, residuals, g):
     (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len) = residuals
+    # the kernel emits f32; the reference middle under bf16 inputs emits
+    # bf16 — align the cotangent dtype before the recompute-vjp
+    g = g.astype(q.dtype)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, tqw_, rawk_, w1_, b1_, wo1_, wo2_, bo_:
         _reference_middle(mode, q_, k_, v_, t_q, t_k, tqw_, rawk_,

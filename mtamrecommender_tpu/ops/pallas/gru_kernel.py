@@ -41,36 +41,43 @@ def _round_up(x: int, m: int) -> int:
 def _gru_scan_kernel(mode: str, seq_len: int, units: int,
                      gx_ref, cx_ref, e1_ref, e2_ref, len_ref, h0_ref,
                      wgh_ref, wch_ref, bg_ref, bc_ref, vec_ref, out_ref):
+    in_dtype = gx_ref.dtype   # f32 or bf16 (mixed precision)
     wgh = wgh_ref[:]          # [u, 2u]
     wch = wch_ref[:]          # [u, u]
-    bg = bg_ref[:]            # [1, 2u]
-    bc = bc_ref[:]            # [1, u]
+    bg = bg_ref[:].astype(jnp.float32)    # [1, 2u]
+    bc = bc_ref[:].astype(jnp.float32)    # [1, u]
+    vec = vec_ref[:].astype(jnp.float32)  # [4, u]
     lengths = len_ref[:]      # [TB, 1] int32
 
     def step(t, h):
-        gx = gx_ref[t]        # [TB, 2u]
-        cx = cx_ref[t]        # [TB, u]
+        # h carries in f32; MXU operands use the input dtype
+        gx = gx_ref[t].astype(jnp.float32)   # [TB, 2u]
+        cx = cx_ref[t].astype(jnp.float32)   # [TB, u]
+        h_op = h.astype(in_dtype)
         gates = jax.nn.sigmoid(
-            gx + jnp.dot(h, wgh, preferred_element_type=jnp.float32) + bg)
+            gx + jnp.dot(h_op, wgh, preferred_element_type=jnp.float32) + bg)
         r = gates[:, :units]
         u = gates[:, units:]
         cand = jnp.tanh(
-            cx + jnp.dot(r * h, wch, preferred_element_type=jnp.float32) + bc)
+            cx + jnp.dot((r * h).astype(in_dtype), wch,
+                         preferred_element_type=jnp.float32) + bc)
         if mode == "plain":
             new_h = u * h + (1.0 - u) * cand
         elif mode == "tseqrec":
-            new_h = u * h * e1_ref[t] + (1.0 - u) * cand * e2_ref[t]
+            new_h = (u * h * e1_ref[t].astype(jnp.float32)
+                     + (1.0 - u) * cand * e2_ref[t].astype(jnp.float32))
         else:  # tgru
-            weight = jnp.maximum(e1_ref[t] + h * vec_ref[0:1, :], 0.0)
-            t_state = jax.nn.sigmoid(vec_ref[1:2, :] * weight
-                                     + vec_ref[2:3, :] * e2_ref[t]
-                                     + vec_ref[3:4, :])
+            weight = jnp.maximum(e1_ref[t].astype(jnp.float32)
+                                 + h * vec[0:1, :], 0.0)
+            t_state = jax.nn.sigmoid(vec[1:2, :] * weight
+                                     + vec[2:3, :] * e2_ref[t].astype(jnp.float32)
+                                     + vec[3:4, :])
             new_h = u * h + (1.0 - u) * cand * t_state
         alive = t < lengths   # [TB, 1] bool, broadcasts over units
         out_ref[t] = jnp.where(alive, new_h, 0.0)
         return jnp.where(alive, new_h, h)
 
-    jax.lax.fori_loop(0, seq_len, step, h0_ref[:])
+    jax.lax.fori_loop(0, seq_len, step, h0_ref[:].astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -167,6 +174,8 @@ def _gs_fwd(mode, *args):
 def _gs_bwd(mode, residuals, g):
     (gate_x, cand_x, e1, e2, lengths, h0,
      w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs) = residuals
+    # kernel emits f32; the reference scan under bf16 inputs emits bf16
+    g = g.astype(gate_x.dtype)
     _, vjp = jax.vjp(
         lambda gx, cx, e1_, e2_, h0_, wgh, wch, bg, bc, cv:
         _reference_scan(mode, gx, cx, e1_, e2_, lengths, h0_,

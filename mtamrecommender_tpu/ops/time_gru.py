@@ -32,13 +32,8 @@ Params = Dict[str, jax.Array]
 def _pallas_scan(mode: str, params: Params, gate_x, cand_x, e1, e2,
                  lengths, h0):
     from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
-    # kernel runs fp32 (bf16 callers upcast; the hoisted projections that
-    # dominate FLOPs stay bf16)
-    gate_x, cand_x, e1, e2, h0 = (a.astype(jnp.float32)
-                                  for a in (gate_x, cand_x, e1, e2, h0))
-    params = {k: (v.astype(jnp.float32)
-                  if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v)
-              for k, v in params.items()}
+    # the kernel is dtype-polymorphic: bf16 operands feed the MXU
+    # natively, the carried state accumulates in f32 inside
     units = params["b_cand"].shape[0]
     if mode == "tgru":
         vecs = jnp.stack([params["time_history_w1"], params["time_kernel_w2"],
@@ -47,7 +42,8 @@ def _pallas_scan(mode: str, params: Params, gate_x, cand_x, e1, e2,
         vecs = jnp.zeros((4, units), gate_x.dtype)
     return gk.gru_scan_vjp(mode, gate_x, cand_x, e1, e2, lengths, h0,
                            params["w_gate_h"], params["w_cand_h"],
-                           params["b_gate"], params["b_cand"], vecs)
+                           params["b_gate"], params["b_cand"],
+                           vecs).astype(gate_x.dtype)
 
 
 # ---------------------------------------------------------------- plain GRU

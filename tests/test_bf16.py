@@ -53,3 +53,20 @@ def test_bf16_with_pallas_kernels():
     loss = float(base_m.compute_loss(mdef, params, cfg, batch, True,
                                      jax.random.PRNGKey(1))["loss"])
     assert np.isfinite(loss)
+
+
+def test_bf16_pallas_grads_finite():
+    """bf16 + pallas kernels: the custom-VJP cotangent dtypes must line up
+    (kernel emits f32, reference twin emits bf16)."""
+    meta = make_meta(item_count=50, max_seq_len=10)
+    batch = make_batch(meta, batch_size=4, seed=0)
+    cfg = ExperimentConfig().with_overrides(
+        **{**BASE, "model.compute_dtype": "bfloat16",
+           "model.use_pallas": True}).model
+    mdef = get_model("MTAM")
+    params = mdef.init(jax.random.PRNGKey(0), cfg, meta)
+    grads = jax.grad(lambda p: base_m.compute_loss(
+        mdef, p, cfg, batch, True, jax.random.PRNGKey(1))["loss"])(params)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                               for x in jax.tree.leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
