@@ -25,7 +25,15 @@ WARMUP = 5
 
 
 def main() -> None:
+    import os
+
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from __graft_entry__ import _make_batch
     from mtamrecommender_tpu.config import ExperimentConfig

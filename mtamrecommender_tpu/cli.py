@@ -92,8 +92,23 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first-compile latency on the remote
+    TPU service is minutes; the cache makes reruns instant."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
+    _enable_compile_cache()
     cfg = build_config(args)
     if args.data_root:
         cfg = cfg.with_overrides(**{"data.data_root": args.data_root})

@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_FILL = -(2.0 ** 32) + 1.0   # reference mask fill (multihead_attention.py:131)
 
-MAX_KEYS = 2048                 # single-tile VMEM guard; longer -> jnp path
+SINGLE_TILE_KEYS = 1024         # <= this: one [Tq,Tk] tile per row
+KEY_BLOCK = 512                 # > that: flash-style online-softmax blocks
+MAX_KEYS = 32768                # hard cap; longer -> jnp path
 
 
 def _round_up(x: int, m: int) -> int:
@@ -101,6 +103,71 @@ def _attn_kernel(mode: str, scale: float,
                          preferred_element_type=jnp.float32)
 
 
+def _attn_kernel_blockwise(mode: str, scale: float, kb: int,
+                           q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref,
+                           rawk_ref, w1_ref, b1_ref, wo1_ref, wo2_ref,
+                           bo_ref, klen_ref, out_ref,
+                           m_ref, l_ref, acc_ref):
+    """Flash-style online softmax over key blocks: grid = (B, n_kb).
+
+    Scratch (m, l, acc) persists across the inner key-block walk; the
+    log-interval gate for each tile is computed from the t_q/t_k hour
+    vectors, so nothing [Tq, Tk]-sized ever materializes (SURVEY.md
+    section 5.7's blockwise requirement)."""
+    j = pl.program_id(1)
+    n_kb = pl.num_programs(1)
+    tk_len = klen_ref[pl.program_id(0)]
+
+    q = q_ref[0]              # [TQ, d]
+    k = k_ref[0]              # [KB, d]
+    v = v_ref[0]              # [KB, d]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    if mode in ("time", "tisas"):
+        t_q = tq_ref[0]       # [TQ, 1]
+        t_k = tk_ref[0]       # [KB, 1]
+        logdt = jnp.log1p(jnp.abs(t_q - t_k.T))
+    if mode == "time":
+        time_qk = jnp.tanh(jax.lax.dot_general(
+            tqw_ref[0], rawk_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        decay = jnp.tanh(logdt * w1_ref[:].astype(jnp.float32)
+                         + b1_ref[:].astype(jnp.float32))
+        gate = (wo1_ref[:].astype(jnp.float32) * decay
+                + wo2_ref[:].astype(jnp.float32) * time_qk
+                + bo_ref[:].astype(jnp.float32))
+        scores = scores * jax.nn.sigmoid(gate) * scale
+    elif mode == "tisas":
+        scores = (scores + logdt) * scale
+    else:
+        scores = scores * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * kb
+    scores = jnp.where(col < tk_len, scores, NEG_FILL)
+
+    m_prev = m_ref[:, :1]                               # [TQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_kb - 1)
+    def _finalize():
+        out_ref[0] = acc_ref[...] / l_ref[:, :1]
+
+
 def _pad_seq(x: jax.Array, length: int, axis: int) -> jax.Array:
     pad = length - x.shape[axis]
     if pad == 0:
@@ -133,29 +200,72 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
     rawkp = _pad_seq(rawk, tkp, 1)
     gate = [_pad_seq(_pad_seq(g, tqp, 0), tkp, 1) for g in (w1, b1, wo1, wo2, bo)]
 
-    row3 = lambda t, dd: pl.BlockSpec((1, t, dd), lambda i: (i, 0, 0),  # noqa: E731
-                                      memory_space=pltpu.VMEM)
-    full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    cost = pl.CostEstimate(
+        flops=2 * b_sz * tqp * tkp * (2 * d + 8),
+        bytes_accessed=4 * b_sz * (2 * tqp * d + 3 * tkp * d),
+        transcendentals=b_sz * tqp * tkp * 4,
+    )
+    args = (qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
+            key_len.astype(jnp.int32))
 
+    if tkp <= SINGLE_TILE_KEYS:
+        row3 = lambda t, dd: pl.BlockSpec((1, t, dd),  # noqa: E731
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM)
+        full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, mode, scale),
+            grid=(b_sz,),
+            in_specs=[
+                row3(tqp, d), row3(tkp, d), row3(tkp, d),
+                row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
+                full2, full2, full2, full2, full2,
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] key_len
+            ],
+            out_specs=row3(tqp, d),
+            out_shape=jax.ShapeDtypeStruct((b_sz, tqp, d), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+        return out[:, :tq, :]
+
+    # long histories: flash-style online softmax over KEY_BLOCK tiles
+    kb = KEY_BLOCK
+    tkp = _round_up(tkp, kb)
+    args = (qp, _pad_seq(kp, tkp, 1), _pad_seq(vp, tkp, 1), tqv,
+            _pad_seq(tkv, tkp, 1), tqwp, _pad_seq(rawkp, tkp, 1),
+            *[_pad_seq(g, tkp, 1) for g in gate],
+            key_len.astype(jnp.int32))
+    n_kb = tkp // kb
+    qrow = lambda t, dd: pl.BlockSpec((1, t, dd),  # noqa: E731
+                                      lambda i, j: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    krow = lambda dd: pl.BlockSpec((1, kb, dd),  # noqa: E731
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM)
+    gblk = pl.BlockSpec((tqp, kb), lambda i, j: (0, j),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, mode, scale),
-        grid=(b_sz,),
+        functools.partial(_attn_kernel_blockwise, mode, scale, kb),
+        grid=(b_sz, n_kb),
         in_specs=[
-            row3(tqp, d), row3(tkp, d), row3(tkp, d),
-            row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
-            full2, full2, full2, full2, full2,
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] key_len
+            qrow(tqp, d), krow(d), krow(d),
+            qrow(tqp, 1), krow(1), qrow(tqp, d), krow(d),
+            gblk, gblk, gblk, gblk, gblk,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=row3(tqp, d),
+        out_specs=qrow(tqp, d),
         out_shape=jax.ShapeDtypeStruct((b_sz, tqp, d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b_sz * tqp * tkp * (2 * d + 8),
-            bytes_accessed=4 * b_sz * (2 * tqp * d + 3 * tkp * d),
-            transcendentals=b_sz * tqp * tkp * 4,
-        ),
-        # CPU (tests / virtual meshes): run the TPU kernel interpreted
-        interpret=jax.default_backend() != "tpu",
-    )(qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate, key_len.astype(jnp.int32))
+        scratch_shapes=[
+            pltpu.VMEM((tqp, 128), jnp.float32),   # running max
+            pltpu.VMEM((tqp, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((tqp, d), jnp.float32),     # output accumulator
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
     return out[:, :tq, :]
 
 

@@ -187,3 +187,26 @@ def test_model_loss_parity_with_pallas(name):
     l_pk = base_m.compute_loss(mdef, params, cfg_pk, batch, True, r)
     np.testing.assert_allclose(float(l_pk["loss"]), float(l_ref["loss"]),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["time", "tisas", "plain"])
+def test_blockwise_long_history_parity(mode):
+    """Tk > SINGLE_TILE_KEYS routes through the flash-style online-softmax
+    key-block walk; must match the reference middle exactly."""
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    rng = np.random.RandomState(0)
+    B, Tq, Tk, d = 2, 8, 1500, 32
+    q = jnp.asarray(rng.randn(B, Tq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Tk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Tk, d).astype(np.float32))
+    tq = jnp.asarray(np.sort(rng.rand(B, Tq) * 100, 1).astype(np.float32))
+    tk = jnp.asarray(np.sort(rng.rand(B, Tk) * 100, 1).astype(np.float32))
+    tqw = jnp.asarray(rng.randn(B, Tq, d).astype(np.float32))
+    rawk = jnp.asarray(rng.randn(B, Tk, d).astype(np.float32))
+    g = [jnp.asarray(rng.randn(Tq, Tk).astype(np.float32) * 0.1)
+         for _ in range(5)]
+    lens = jnp.asarray([1500, 700], jnp.int32)
+    out = pk.fused_attention(mode, q, k, v, tq, tk, tqw, rawk, *g, lens)
+    ref = pk._reference_middle(mode, q, k, v, tq, tk, tqw, rawk, *g, lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
