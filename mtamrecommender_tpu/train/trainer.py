@@ -248,6 +248,13 @@ class Trainer:
                 self._seen += 1
             if state.step % cfg_t.display_freq == 0:
                 loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # surface divergence instead of training on garbage
+                    # (the reference swallows step errors,
+                    # train_process.py:369-371 — deliberately not replicated)
+                    raise FloatingPointError(
+                        f"non-finite train loss {loss} at step {state.step}; "
+                        f"restore the last checkpoint and lower the lr")
                 if not fetch_every_step:
                     self._avg_loss += loss
                     self._seen += 1

@@ -245,3 +245,17 @@ def test_device_resident_path_matches_host_path(synth_data, tmp_path):
     for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_divergence_surfaces(synth_data, tmp_path):
+    """A non-finite loss raises instead of being swallowed
+    (reference swallows step errors; we deliberately do not)."""
+    train, test = synth_data
+    cfg = _tiny_cfg("Gru4Rec", **{"train.learning_rate": 1e25,
+                                  "train.display_freq": 1,
+                                  "train.max_gradient_norm": 1e12})
+    trainer = Trainer(cfg=cfg, model=get_model("Gru4Rec"),
+                      train_data=train, test_data=test,
+                      run_dir=str(tmp_path / "run"))
+    with pytest.raises(FloatingPointError):
+        trainer.fit(max_epochs=3, max_steps=60)
