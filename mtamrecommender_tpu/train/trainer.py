@@ -210,6 +210,7 @@ class Trainer:
             self.test_data, self.cfg.train.test_batch_size))
         metrics = eval_lib.evaluate_dataset(self.eval_step, state.params,
                                             batches)
+        step_for_curve = state.step
         # best-so-far maxima (train_process.py:279-288): hr and ndcg must
         # BOTH improve to update, per the reference's paired condition
         for k in self.cfg.train.topk:
@@ -220,7 +221,8 @@ class Trainer:
                 self.best[f"ndcg@{k}"] = ndcg
             self.logger.info("Test recall rate @ %d : %.4f   ndcg @ %d: %.4f",
                              k, hr, k, ndcg)
-        self.writer.scalars(0 if not metrics else int(time.time()), metrics)
+        if metrics:
+            self.writer.scalars(step_for_curve, metrics)
         return metrics
 
     def fit(self, state: Optional[TrainState] = None,
