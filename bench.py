@@ -20,8 +20,8 @@ import time
 REFERENCE_ESTIMATE_EXAMPLES_PER_SEC = 2000.0
 
 BATCH = 256
-STEPS = 30
-WARMUP = 5
+STEPS = 100
+WARMUP = 10
 
 
 def main() -> None:
