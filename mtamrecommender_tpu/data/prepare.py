@@ -12,6 +12,7 @@ reference's.
 
 from __future__ import annotations
 
+import ast
 import os
 import pickle
 import random
@@ -207,12 +208,15 @@ def _load_cache(cache_dir: str, cfg: DataConfig) -> Optional[PreparedData]:
         dic = pickle.load(f)
 
     def read_examples(path: str) -> List[Example]:
+        # the reference persists python-repr lines (prepare_data_base.py:
+        # 334-339); literal_eval parses that format without eval's
+        # code-execution surface
         out = []
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
-                    out.append(eval(line))  # noqa: S307 - reference cache format
+                    out.append(ast.literal_eval(line))
         return out
 
     meta = DatasetMeta(user_count=dic["user_count"], item_count=dic["item_count"],
