@@ -133,3 +133,64 @@ class Recommender:
                     if int(i) not in seen][:k]
             out.append(recs)
         return out
+
+
+def main(argv=None) -> int:
+    """JSON-lines scoring service.
+
+    Reads one request per stdin line:
+        {"history": [[item, cat, unix_seconds], ...],
+         "request_time": unix_seconds, "user_id": 0, "k": 10}
+    writes one response per line:
+        {"items": [id, ...], "scores": [s, ...]}
+
+    Usage:
+        python -m mtamrecommender_tpu.serve --checkpoint data/check_point/run \\
+            --experiment_type MTAM --items 3706 --users 6040 --categories 18
+    """
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(prog="mtamrecommender_tpu.serve")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--experiment_type", default="MTAM")
+    ap.add_argument("--items", type=int, required=True)
+    ap.add_argument("--users", type=int, required=True)
+    ap.add_argument("--categories", type=int, required=True)
+    ap.add_argument("--max_seq_len", type=int, default=50)
+    ap.add_argument("--num_units", type=int, default=128)
+    ap.add_argument("--num_blocks", type=int, default=3)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE")
+    args = ap.parse_args(argv)
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.experiment_type": args.experiment_type,
+        "model.num_units": args.num_units,
+        "model.num_blocks": args.num_blocks,
+        "data.max_seq_len": args.max_seq_len,
+        **{kv.partition("=")[0]: json.loads(kv.partition("=")[2])
+           for kv in args.set}})
+    meta = DatasetMeta(user_count=args.users, item_count=args.items,
+                       category_count=args.categories,
+                       max_seq_len=args.max_seq_len)
+    rec = Recommender.from_checkpoint(cfg, meta, args.checkpoint)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        req = json.loads(line)
+        out = rec.recommend(
+            [[tuple(e) for e in req["history"]]],
+            [req["request_time"]], k=int(req.get("k", args.k)),
+            user_ids=[int(req.get("user_id", 0))])[0]
+        print(json.dumps({"items": [i for i, _ in out],
+                          "scores": [round(s, 5) for _, s in out]}),
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

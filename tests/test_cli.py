@@ -199,3 +199,45 @@ def test_fleet_single_experiment(tmp_path, monkeypatch):
     assert "finished synthetic/bpr: ok" in proc.stdout
     log = (tmp_path / "logs" / "synthetic_bpr.log").read_text()
     assert "done at step 3" in log
+
+
+def test_serve_cli_json_lines(tmp_path, monkeypatch):
+    """The serving CLI answers JSON-line requests from a checkpoint."""
+    import io
+    import json
+    import sys
+
+    import jax
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data.pipeline import pack_examples
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu import serve
+    from mtamrecommender_tpu.train.checkpoint import Checkpointer
+    from mtamrecommender_tpu.train.trainer import (TrainState, make_optimizer)
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.experiment_type": "bpr", "model.num_units": 8,
+        "data.max_seq_len": 6})
+    from helpers import make_meta
+    meta = make_meta(item_count=30, user_count=20, category_count=4,
+                     max_seq_len=6)
+    model = get_model("bpr")
+    params = model.init(jax.random.PRNGKey(0), cfg.model, meta)
+    opt = make_optimizer(cfg.train)
+    st = TrainState(params=params, opt_state=opt.init(params), step=1)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(st, wait=True)
+    ckpt.close()
+
+    req = {"history": [[3, 1, 360000], [5, 2, 363600]],
+           "request_time": 370000, "user_id": 2, "k": 4}
+    monkeypatch.setattr(sys, "stdin", io.StringIO(json.dumps(req) + "\n"))
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    rc = serve.main(["--checkpoint", str(tmp_path / "ck"),
+                     "--experiment_type", "bpr", "--items", "30",
+                     "--users", "20", "--categories", "4",
+                     "--max_seq_len", "6", "--num_units", "8"])
+    assert rc == 0
+    resp = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert len(resp["items"]) == 4 and len(resp["scores"]) == 4
