@@ -103,6 +103,8 @@ def main() -> int:
     ap.add_argument("--dataset", default="synthetic",
                     help="synthetic | synthetic_sessions")
     ap.add_argument("--events_per_user", type=int, default=40)
+    ap.add_argument("--skip_floors", action="store_true",
+                    help="skip TopPop/P-Pop (already recorded elsewhere)")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--num_units", type=int, default=128)
@@ -134,13 +136,14 @@ def main() -> int:
                           "test": len(test)},
                "models": []}
 
-    # non-learned floors once (python example path needed for tuples)
-    prepared = prepare_examples(origin, cfg_base.data)
-    results["top_pop"] = {k: round(v, 4) for k, v in eval_top_pop(
-        prepared.train_set, prepared.test_set).items()}
-    results["p_pop"] = {k: round(v, 4) for k, v in eval_p_pop(
-        prepared.train_set, prepared.test_set).items()}
-    print("TopPop:", results["top_pop"], flush=True)
+    if not args.skip_floors:
+        # non-learned floors once (python example path needed for tuples)
+        prepared = prepare_examples(origin, cfg_base.data)
+        results["top_pop"] = {k: round(v, 4) for k, v in eval_top_pop(
+            prepared.train_set, prepared.test_set).items()}
+        results["p_pop"] = {k: round(v, 4) for k, v in eval_p_pop(
+            prepared.train_set, prepared.test_set).items()}
+        print("TopPop:", results["top_pop"], flush=True)
 
     for name in args.models:
         print(f"=== {name}", flush=True)
