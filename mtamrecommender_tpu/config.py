@@ -78,6 +78,11 @@ class TrainConfig:
     display_freq: int = 10
     eval_freq: int = 500
     save_freq: int = 50_000           # train_process.py:432
+    steps_per_call: int = 1           # >1: scan K optimizer steps per jit
+                                      # call on the device-resident path
+                                      # (dispatch-latency amortization;
+                                      # TPU-native addition, no reference
+                                      # equivalent)
     load_type: str = "from_scratch"   # from_scratch | full | fine_tune
     fine_tune_load_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None

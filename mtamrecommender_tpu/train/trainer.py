@@ -136,6 +136,57 @@ def make_device_train_step(model: ModelDef, cfg: ExperimentConfig,
     return train_step
 
 
+def make_superstep(model: ModelDef, cfg: ExperimentConfig,
+                   optimizer: optax.GradientTransformation,
+                   valid_vocab: int, batch_size: int):
+    """K optimizer steps per jit call: `lax.scan` over in-jit batch gathers
+    on the device-resident dataset.
+
+    The per-step paths pay one dispatch per optimizer step; at this
+    workload's shapes the model is dispatch-latency-bound, not FLOP-bound
+    (docs/PERFORMANCE.md), so scanning K steps inside one executable is
+    the TPU-native answer — there is no reference equivalent (the
+    reference pays a feed_dict + sess.run round-trip per step,
+    train_process.py:326-336).
+
+    Trajectory-identical to the single-step device path: same in-jit
+    `jax.random.split` chain, same batch gather — pinned by
+    tests/test_train.py.  Returns a `build(n_sub)` factory; each distinct
+    n_sub compiles once.
+    """
+    from mtamrecommender_tpu.data.device_data import gather_batch
+
+    def build(n_sub: int):
+        @jax.jit
+        def superstep(params, opt_state, data, order, start_step, rng):
+            def body(carry, k):
+                params, opt_state, rng = carry
+                keys = jax.random.split(rng)
+                step_rng, rng = keys[0], keys[1]
+                batch = gather_batch(data, order, start_step + k, batch_size)
+
+                def loss_fn(p):
+                    m = compute_loss(model, p, cfg.model, batch, True,
+                                     step_rng, valid_vocab)
+                    return m["loss"], m
+
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                          params)
+                new_params = optax.apply_updates(params, updates)
+                return (new_params, new_opt_state, rng), metrics
+
+            (params, opt_state, rng), stacked = jax.lax.scan(
+                body, (params, opt_state, rng),
+                jnp.arange(n_sub, dtype=jnp.int32))
+            return params, opt_state, stacked, rng
+
+        return superstep
+
+    return build
+
+
 # ------------------------------------------------------------ orchestration
 
 @dataclass
@@ -184,9 +235,31 @@ class Trainer:
                 self.cfg.train.train_batch_size)
         else:
             self.device_train_step = None
+        if self.device_train_step is not None and \
+                self.cfg.train.steps_per_call > 1:
+            self._superstep_factory = make_superstep(
+                self.model, self.cfg, self.optimizer, self.valid_vocab,
+                self.cfg.train.train_batch_size)
+        else:
+            self._superstep_factory = None
+        self._superstep_cache: Dict[int, Any] = {}
         self._device_data = None
         self.rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.np_rng = np.random.RandomState(self.cfg.train.seed)
+
+    def _chunk_size(self, step: int, steps_left: int,
+                    max_steps: Optional[int]) -> int:
+        """Largest superstep chunk that does not cross an eval boundary,
+        the epoch end, or max_steps — so evals/saves/stops land on exactly
+        the same global steps as the per-step paths."""
+        if self._superstep_factory is None:
+            return 1
+        cfg_t = self.cfg.train
+        chunk = min(cfg_t.steps_per_call, steps_left,
+                    cfg_t.eval_freq - (step % cfg_t.eval_freq))
+        if max_steps is not None:
+            chunk = min(chunk, max_steps - step)
+        return max(chunk, 1)
 
     def _place(self, batch: Batch) -> Batch:
         if self.mesh is None:
@@ -282,15 +355,35 @@ class Trainer:
                 order_np, n_steps = dd.epoch_order(
                     len(self.train_data), cfg_t.train_batch_size, self.np_rng)
                 order = jax.device_put(order_np)
-                for i in range(n_steps):
-                    step_rng, self.rng = jax.random.split(self.rng)
-                    state.params, state.opt_state, metrics = \
-                        self.device_train_step(state.params, state.opt_state,
-                                               self._device_data, order, i,
-                                               step_rng)
-                    if on_step(metrics, fetch_every_step=False):
-                        stop = True
-                        break
+                i = 0
+                while i < n_steps and not stop:
+                    chunk = self._chunk_size(state.step, n_steps - i,
+                                             max_steps)
+                    if chunk > 1:
+                        fn = self._superstep_cache.get(chunk)
+                        if fn is None:
+                            fn = self._superstep_factory(chunk)
+                            self._superstep_cache[chunk] = fn
+                        state.params, state.opt_state, stacked, self.rng = fn(
+                            state.params, state.opt_state, self._device_data,
+                            order, i, self.rng)
+                        host = jax.device_get(stacked)
+                        for k in range(chunk):
+                            if on_step({m: host[m][k] for m in host},
+                                       fetch_every_step=False):
+                                stop = True
+                                break
+                        i += chunk
+                    else:
+                        step_rng, self.rng = jax.random.split(self.rng)
+                        state.params, state.opt_state, metrics = \
+                            self.device_train_step(state.params,
+                                                   state.opt_state,
+                                                   self._device_data, order,
+                                                   i, step_rng)
+                        if on_step(metrics, fetch_every_step=False):
+                            stop = True
+                        i += 1
             else:
                 it = batch_iterator(self.train_data, cfg_t.train_batch_size,
                                     shuffle=True, rng=self.np_rng)

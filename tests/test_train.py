@@ -247,6 +247,28 @@ def test_device_resident_path_matches_host_path(synth_data, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_superstep_matches_per_step_device_path(synth_data, tmp_path):
+    """steps_per_call > 1 (lax.scan of K optimizer steps per jit call)
+    must reproduce the single-step device path's trajectory exactly —
+    same rng split chain, same batch gathers, same eval/stop steps.
+    K=4 with max_steps=9 exercises full chunks, the eval-boundary clamp
+    and the max_steps remainder."""
+    train, test = synth_data
+    results = []
+    for steps_per_call in (1, 4):
+        cfg = _tiny_cfg("Gru4Rec", **{"model.dropout": 0.0,
+                                      "train.steps_per_call": steps_per_call})
+        trainer = Trainer(cfg=cfg, model=get_model("Gru4Rec"),
+                          train_data=train, test_data=test,
+                          run_dir=str(tmp_path / f"run{steps_per_call}"))
+        state = trainer.fit(max_epochs=1, max_steps=9)
+        assert state.step == 9
+        results.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_divergence_surfaces(synth_data, tmp_path):
     """A non-finite loss raises instead of being swallowed
     (reference swallows step errors; we deliberately do not)."""
