@@ -183,8 +183,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     ckpt_dir = os.path.join("data", "check_point", run_name)
     checkpointer = Checkpointer(ckpt_dir)
     state = trainer.init_state()
-    state = apply_load_type(cfg.train, state, ckpt_dir,
-                            optimizer_init=trainer.optimizer.init)
+    state, cursor = apply_load_type(cfg.train, state, ckpt_dir,
+                                    optimizer_init=trainer.optimizer.init,
+                                    with_cursor=True)
+    start_epoch = skip_steps = 0
+    if cursor is not None:
+        start_epoch, skip_steps = trainer.resume_from_cursor(cursor, state)
+        logger.info("resuming at step %d (epoch %d, skipping %d steps)",
+                    state.step, start_epoch, skip_steps)
 
     if args.profile:
         import jax
@@ -194,7 +200,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         state = trainer.fit(state, max_epochs=args.max_epochs,
                             max_steps=args.max_steps,
-                            checkpointer=checkpointer)
+                            checkpointer=checkpointer,
+                            start_epoch=start_epoch, skip_steps=skip_steps)
     finally:
         if args.profile:
             import jax

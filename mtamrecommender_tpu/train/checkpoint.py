@@ -2,24 +2,34 @@
 
 Replaces tf.train.Saver (`/root/reference/Model/base_model.py:124-147`,
 load modes at :48-69) with Orbax async-capable sharded checkpoints of
-params + optimizer state + step:
+params + optimizer state + step + data cursor:
 
   * from_scratch — ignore any checkpoint
   * full         — restore the latest checkpoint from the run's dir
   * fine_tune    — restore params only (fresh optimizer state) from
                    `fine_tune_load_path`, the var-list-restore analogue
+
+The **data cursor** (a TPU-build addition — the reference restores
+weights only and restarts its epoch loop) records the epoch, the global
+step at that epoch's start, and both rng states as of the epoch start;
+`Trainer.resume_from_cursor` + `fit(start_epoch, skip_steps)` replay the
+interrupted epoch's shuffle and fast-forward past the already-trained
+steps, making resume EXACTLY trajectory-preserving (pinned by
+tests/test_train.py::test_resume_trajectory_exact).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
 
 from mtamrecommender_tpu.config import TrainConfig
 from mtamrecommender_tpu.train.trainer import TrainState
+
+Cursor = Dict[str, Any]   # JSON-able: epoch, step_at_epoch_start, rng states
 
 
 class Checkpointer:
@@ -30,27 +40,48 @@ class Checkpointer:
                                                create=True)
         self.manager = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, state: TrainState, wait: bool = False) -> None:
+    def save(self, state: TrainState, cursor: Optional[Cursor] = None,
+             wait: bool = False) -> None:
         payload = {"params": state.params, "opt_state": state.opt_state}
-        self.manager.save(state.step, args=ocp.args.StandardSave(payload))
+        items = {"state": ocp.args.StandardSave(payload)}
+        if cursor is not None:
+            items["cursor"] = ocp.args.JsonSave(cursor)
+        self.manager.save(state.step, args=ocp.args.Composite(**items))
         if wait:
             self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def restore(self, template: TrainState,
-                step: Optional[int] = None) -> TrainState:
+    def _has_cursor(self, step: int) -> bool:
+        try:
+            meta = self.manager.item_metadata(step)
+            return "cursor" in meta
+        except Exception:
+            return False
+
+    def restore(self, template: TrainState, step: Optional[int] = None,
+                with_cursor: bool = False):
+        """Restore TrainState (and, with ``with_cursor=True``, the data
+        cursor as a second return value — None if the checkpoint predates
+        cursors)."""
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct,
             {"params": template.params, "opt_state": template.opt_state})
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(abstract))
-        return TrainState(params=restored["params"],
-                          opt_state=restored["opt_state"], step=int(step))
+        items = {"state": ocp.args.StandardRestore(abstract)}
+        want_cursor = with_cursor and self._has_cursor(step)
+        if want_cursor:
+            items["cursor"] = ocp.args.JsonRestore()
+        restored = self.manager.restore(step, args=ocp.args.Composite(**items))
+        state = TrainState(params=restored["state"]["params"],
+                           opt_state=restored["state"]["opt_state"],
+                           step=int(step))
+        if with_cursor:
+            return state, (restored["cursor"] if want_cursor else None)
+        return state
 
     def close(self) -> None:
         self.manager.wait_until_finished()
@@ -58,14 +89,19 @@ class Checkpointer:
 
 
 def apply_load_type(cfg: TrainConfig, state: TrainState, run_ckpt_dir: str,
-                    optimizer_init=None) -> TrainState:
-    """Dispatch on load_type (base_model.init_variables:48-69)."""
+                    optimizer_init=None, with_cursor: bool = False):
+    """Dispatch on load_type (base_model.init_variables:48-69).
+
+    With ``with_cursor=True`` returns ``(state, cursor_or_None)`` so the
+    caller can resume the data stream exactly (load_type='full' only —
+    fine_tune starts a fresh run by definition).
+    """
     if cfg.load_type == "from_scratch":
-        return state
+        return (state, None) if with_cursor else state
     if cfg.load_type == "full":
         ckpt = Checkpointer(run_ckpt_dir)
         try:
-            return ckpt.restore(state)
+            return ckpt.restore(state, with_cursor=with_cursor)
         finally:
             ckpt.close()
     if cfg.load_type == "fine_tune":
@@ -79,5 +115,6 @@ def apply_load_type(cfg: TrainConfig, state: TrainState, run_ckpt_dir: str,
         # params only; fresh optimizer state + step (var-list restore analogue)
         opt_state = (optimizer_init(restored.params)
                      if optimizer_init is not None else state.opt_state)
-        return TrainState(params=restored.params, opt_state=opt_state, step=0)
+        out = TrainState(params=restored.params, opt_state=opt_state, step=0)
+        return (out, None) if with_cursor else out
     raise ValueError(f"unknown load_type {cfg.load_type!r}")

@@ -136,6 +136,19 @@ def make_device_train_step(model: ModelDef, cfg: ExperimentConfig,
     return train_step
 
 
+def fast_forward_rng(rng: jax.Array, n: int) -> jax.Array:
+    """Advance the per-step rng chain by ``n`` splits without running the
+    steps (exact-resume fast-forward; one fori_loop dispatch)."""
+    if n <= 0:
+        return rng
+    return _ff_rng_jit(rng, jnp.asarray(n, jnp.int32))
+
+
+@jax.jit
+def _ff_rng_jit(rng, n):
+    return jax.lax.fori_loop(0, n, lambda i, k: jax.random.split(k)[1], rng)
+
+
 def make_superstep(model: ModelDef, cfg: ExperimentConfig,
                    optimizer: optax.GradientTransformation,
                    valid_vocab: int, batch_size: int):
@@ -243,9 +256,34 @@ class Trainer:
         else:
             self._superstep_factory = None
         self._superstep_cache: Dict[int, Any] = {}
+        self._cursor = None
         self._device_data = None
         self.rng = jax.random.PRNGKey(self.cfg.train.seed)
         self.np_rng = np.random.RandomState(self.cfg.train.seed)
+
+    def _capture_cursor(self, epoch: int, epoch_start_step: int) -> Dict:
+        """JSON-able data cursor as of an epoch's start: epoch index,
+        global step, per-step jax rng and the epoch-shuffle numpy rng.
+        Saved with each checkpoint so resume replays the interrupted
+        epoch's shuffle exactly (train/checkpoint.py)."""
+        st = self.np_rng.get_state()
+        return {"epoch": int(epoch), "step_at_epoch_start": int(epoch_start_step),
+                "rng": np.asarray(self.rng).astype(np.uint32).tolist(),
+                "np_keys": np.asarray(st[1]).astype(np.uint32).tolist(),
+                "np_pos": int(st[2]), "np_has_gauss": int(st[3]),
+                "np_cached": float(st[4])}
+
+    def resume_from_cursor(self, cursor: Dict, state: TrainState
+                           ) -> Tuple[int, int]:
+        """Restore both rng streams to the cursor's epoch start; returns
+        (start_epoch, skip_steps) to pass to fit() for an exact resume."""
+        self.rng = jnp.asarray(np.asarray(cursor["rng"], np.uint32))
+        self.np_rng.set_state(
+            ("MT19937", np.asarray(cursor["np_keys"], np.uint32),
+             int(cursor["np_pos"]), int(cursor["np_has_gauss"]),
+             float(cursor["np_cached"])))
+        return int(cursor["epoch"]), \
+            int(state.step) - int(cursor["step_at_epoch_start"])
 
     def _chunk_size(self, step: int, steps_left: int,
                     max_steps: Optional[int]) -> int:
@@ -301,7 +339,13 @@ class Trainer:
     def fit(self, state: Optional[TrainState] = None,
             max_epochs: Optional[int] = None,
             max_steps: Optional[int] = None,
-            checkpointer=None) -> TrainState:
+            checkpointer=None, start_epoch: int = 0,
+            skip_steps: int = 0) -> TrainState:
+        """Epoch loop.  ``start_epoch``/``skip_steps`` (usually from
+        ``resume_from_cursor``) resume an interrupted run exactly: the
+        first epoch's shuffle is re-drawn from the restored numpy rng and
+        its first ``skip_steps`` already-trained steps are skipped with
+        the per-step rng chain fast-forwarded to match."""
         cfg_t = self.cfg.train
         state = state or self.init_state()
         self.evaluate(state)  # initial eval (train_process.py:308)
@@ -344,18 +388,24 @@ class Trainer:
                 self.evaluate(state)
                 if checkpointer is not None and \
                         state.step % cfg_t.save_freq == 0:
-                    checkpointer.save(state)
+                    checkpointer.save(state, cursor=self._cursor)
             return max_steps is not None and state.step >= max_steps
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             stop = False
+            skip = skip_steps if epoch == start_epoch else 0
+            # cursor BEFORE the epoch's shuffle draw, so a restore can
+            # replay this epoch's order from the same numpy rng state
+            self._cursor = self._capture_cursor(epoch, state.step - skip)
+            if skip:
+                self.rng = fast_forward_rng(self.rng, skip)
             if use_device_data:
                 from mtamrecommender_tpu.data import device_data as dd
                 order_np, n_steps = dd.epoch_order(
                     len(self.train_data), cfg_t.train_batch_size, self.np_rng)
                 order = jax.device_put(order_np)
-                i = 0
+                i = skip
                 while i < n_steps and not stop:
                     chunk = self._chunk_size(state.step, n_steps - i,
                                              max_steps)
@@ -387,6 +437,9 @@ class Trainer:
             else:
                 it = batch_iterator(self.train_data, cfg_t.train_batch_size,
                                     shuffle=True, rng=self.np_rng)
+                if skip:
+                    import itertools
+                    it = itertools.islice(it, skip, None)
                 if self.mesh is None:
                     it = prefetch_to_device(it)
                 for _, batch in it:
@@ -407,5 +460,5 @@ class Trainer:
                              k, self.best.get(f"hr@{k}", 0.0), k,
                              self.best.get(f"ndcg@{k}", 0.0))
         if checkpointer is not None:
-            checkpointer.save(state)
+            checkpointer.save(state, cursor=self._cursor)
         return state

@@ -247,6 +247,49 @@ def test_device_resident_path_matches_host_path(synth_data, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_resume_trajectory_exact(synth_data, tmp_path):
+    """Interrupt mid-epoch, checkpoint with the data cursor, restore into
+    a FRESH trainer, resume — final params must be bitwise-equal to an
+    uninterrupted run (epoch shuffle replayed, rng chain fast-forwarded,
+    already-trained steps skipped)."""
+    train, test = synth_data
+    n_steps = -(-len(train) // 32)
+    assert n_steps >= 3
+
+    def fresh(tag):
+        cfg = _tiny_cfg("Gru4Rec", **{"model.dropout": 0.0})
+        return Trainer(cfg=cfg, model=get_model("Gru4Rec"),
+                       train_data=train, test_data=test,
+                       run_dir=str(tmp_path / tag))
+
+    # uninterrupted: 2 epochs
+    t_full = fresh("full")
+    full = t_full.fit(max_epochs=2)
+
+    # interrupted mid-epoch-1 (epoch 0 complete + 2 steps), then resumed
+    t_a = fresh("a")
+    mid = t_a.fit(max_epochs=2, max_steps=n_steps + 2)
+    ckpt = Checkpointer(str(tmp_path / "ckpt_cursor"))
+    ckpt.save(mid, cursor=t_a._cursor, wait=True)
+    t_b = fresh("b")
+    template = TrainState(params=t_b.init_state().params,
+                          opt_state=t_b.optimizer.init(
+                              t_b.init_state().params), step=0)
+    restored, cursor = ckpt.restore(template, with_cursor=True)
+    ckpt.close()
+    assert cursor is not None and restored.step == n_steps + 2
+    start_epoch, skip = t_b.resume_from_cursor(cursor, restored)
+    assert (start_epoch, skip) == (1, 2)
+    resumed = t_b.fit(restored, max_epochs=2, start_epoch=start_epoch,
+                      skip_steps=skip)
+
+    assert resumed.step == full.step
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_superstep_matches_per_step_device_path(synth_data, tmp_path):
     """steps_per_call > 1 (lax.scan of K optimizer steps per jit call)
     must reproduce the single-step device path's trajectory exactly —
