@@ -85,16 +85,19 @@ def _run_superstep(jax, _make_batch, cfg, meta, model, params, opt,
         STEPS_PER_CALL)
     rng = jax.random.PRNGKey(1)
 
-    # warmup call: compile + one full scan
+    # warmup call: compile + one full scan.  IMPORTANT: end every timed
+    # window with a VALUE FETCH that data-depends on all steps — on this
+    # remote TPU backend jax.block_until_ready can return before the
+    # computation finishes, silently inflating throughput.
     params, opt_state, stacked, rng = fn(params, opt_state, data, order,
                                          0, rng)
-    jax.block_until_ready((params, stacked))
+    assert np.isfinite(float(np.asarray(stacked["loss"])[-1]))
 
     t0 = time.perf_counter()
     for c in range(CALLS):
         params, opt_state, stacked, rng = fn(
             params, opt_state, data, order, (c + 1) * STEPS_PER_CALL, rng)
-    jax.block_until_ready((params, stacked))
+    assert np.isfinite(float(np.asarray(stacked["loss"])[-1]))
     dt = time.perf_counter() - t0
     return BATCH * STEPS_PER_CALL * CALLS / dt
 

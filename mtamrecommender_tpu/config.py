@@ -58,6 +58,8 @@ class ModelConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # flip to bfloat16 for MXU-heavy runs
     use_pallas: bool = False          # Pallas kernels vs. jnp reference path
+    scan_unroll: int = 1              # recurrence-scan unroll factor
+                                      # (scheduling only; math unchanged)
     # physical vocab-row padding: tables round up to a multiple so they
     # row-shard evenly over the model mesh axis and tile the 128-wide TPU
     # lane dim; logits past the logical vocab are masked (models/base.py)

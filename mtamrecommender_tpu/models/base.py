@@ -139,6 +139,13 @@ def cast_floats(tree: Any, dtype) -> Any:
         else x, tree)
 
 
+def _apply_trace_knobs(cfg: ModelConfig) -> None:
+    """Trace-time op knobs that would otherwise need threading through
+    every model signature."""
+    from mtamrecommender_tpu.ops import time_gru
+    time_gru.set_scan_unroll(cfg.scan_unroll)
+
+
 def _compute_cast(cfg: ModelConfig, params: Params, batch: Batch):
     """bfloat16 compute path: fp32 master params, bf16 activations and
     matmuls (MXU-native), fp32 loss/softmax.  The reference is fp32-only
@@ -155,6 +162,7 @@ def compute_loss(model: ModelDef, params: Params, cfg: ModelConfig,
                  valid_vocab: Optional[int] = None) -> Dict[str, jax.Array]:
     apply_rng, loss_rng = (jax.random.split(rng) if rng is not None
                            else (None, None))
+    _apply_trace_knobs(cfg)
     params_c, batch_c = _compute_cast(cfg, params, batch)
     out = model.apply(params_c, cfg, batch_c, train=train, rng=apply_rng)
     if cfg.compute_dtype == "bfloat16":
@@ -180,6 +188,7 @@ def scores_for_eval(model: ModelDef, params: Params, cfg: ModelConfig,
                     batch: Batch, valid_vocab: Optional[int] = None
                     ) -> jax.Array:
     """Full-catalog ranking scores (metrics_topK / metrics_topK_concat)."""
+    _apply_trace_knobs(cfg)
     params_c, batch_c = _compute_cast(cfg, params, batch)
     out = model.apply(params_c, cfg, batch_c, train=False, rng=None)
     mode = "concat" if model.output_mode == "concat" else "plain"

@@ -82,6 +82,22 @@ def _gru_core(params: Params, gate_x: jax.Array, cand_x: jax.Array,
     return r, u, cand
 
 
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int) -> None:
+    """Unroll factor for the recurrence scans (ModelConfig.scan_unroll).
+
+    Captured at TRACE time (models/base.compute_loss sets it from the
+    config before apply); unrolling shrinks the XLA while-loop trip count
+    so the sequential per-iteration launch overhead amortizes.  The math
+    is unchanged but XLA fusion boundaries move, so results can differ in
+    low-order bits (like any XLA scheduling choice); keep the default 1
+    when bitwise trajectory reproducibility matters."""
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(int(n), 1)
+
+
 def _masked_scan(step_fn, h0: jax.Array, xs, lengths: jax.Array,
                  max_len: int) -> jax.Array:
     """dynamic_rnn length semantics: for t >= lengths, output 0, state frozen."""
@@ -95,7 +111,7 @@ def _masked_scan(step_fn, h0: jax.Array, xs, lengths: jax.Array,
         return h_next, out
 
     ts = jnp.arange(max_len)
-    _, outputs = jax.lax.scan(body, h0, (ts, xs))
+    _, outputs = jax.lax.scan(body, h0, (ts, xs), unroll=_SCAN_UNROLL)
     return jnp.transpose(outputs, (1, 0, 2))  # [L,B,u] -> [B,L,u]
 
 
