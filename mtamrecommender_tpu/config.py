@@ -60,6 +60,8 @@ class ModelConfig:
     use_pallas: bool = False          # Pallas kernels vs. jnp reference path
     scan_unroll: int = 1              # recurrence-scan unroll factor
                                       # (scheduling only; math unchanged)
+    pallas_scope: str = "all"         # which op families use_pallas covers:
+                                      # 'all' or subset of 'gru,attention'
     # physical vocab-row padding: tables round up to a multiple so they
     # row-shard evenly over the model mesh axis and tile the 128-wide TPU
     # lane dim; logits past the logical vocab are masked (models/base.py)

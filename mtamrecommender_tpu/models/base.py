@@ -143,7 +143,9 @@ def _apply_trace_knobs(cfg: ModelConfig) -> None:
     """Trace-time op knobs that would otherwise need threading through
     every model signature."""
     from mtamrecommender_tpu.ops import time_gru
+    from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
     time_gru.set_scan_unroll(cfg.scan_unroll)
+    pallas_flags.set_scope(cfg.pallas_scope)
 
 
 def _compute_cast(cfg: ModelConfig, params: Params, batch: Batch):

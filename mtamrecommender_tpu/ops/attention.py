@@ -36,6 +36,11 @@ NEG_FILL = -(2.0 ** 32) + 1.0  # the reference's key-mask padding value
 
 # ------------------------------------------------------------ param init
 
+
+def _pallas_attention_enabled() -> bool:
+    from mtamrecommender_tpu.ops.pallas import flags
+    return flags.enabled("attention")
+
 def init_mha_block(rng: jax.Array, num_units: int, dtype=jnp.float32) -> Params:
     kq, kk, kv = jax.random.split(rng, 3)
     return {
@@ -138,7 +143,7 @@ def time_aware_multihead_attention(params: Params, queries: jax.Array,
 
     t_queries: [B, Tq] hours; t_keys: [B, Tk] hours.
     """
-    if use_pallas:
+    if use_pallas and _pallas_attention_enabled():
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
             return _time_attention_pallas(params, queries, keys, key_len,
@@ -172,7 +177,8 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
                               ) -> Tuple[jax.Array, jax.Array]:
     """TiSAS additive variant: scores += log(|Δt|+1)
     (TiSAS_multihead_attention, time_aware_attention.py:73-214)."""
-    if use_pallas and not (train and dropout_rate > 0.0):
+    if use_pallas and _pallas_attention_enabled() \
+            and not (train and dropout_rate > 0.0):
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
             return _tisas_attention_pallas(params, queries, keys, key_len,

@@ -129,6 +129,201 @@ def gru_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
     return jnp.transpose(out[:, :b_sz, :], (1, 0, 2))
 
 
+def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
+                         g_ref, out_ref_in, gx_ref, cx_ref, e1_ref, e2_ref,
+                         len_ref, h0_ref, wgh_ref, wch_ref, bg_ref, bc_ref,
+                         vec_ref,
+                         dgx_ref, dcx_ref, de1_ref, de2_ref, dh0_ref,
+                         dwgh_ref, dwch_ref, dbg_ref, dbc_ref, dvec_ref):
+    """Fused reverse-time backward for the whole-sequence GRU scan.
+
+    One kernel walks t = L-1..0 for a tile of batch rows: the carried
+    cotangent dh lives in VMEM, gates/candidates are RECOMPUTED from the
+    saved forward outputs (h_{t-1} = out[t-1], h_{-1} = h0 — valid because
+    `alive` is a prefix), and the weight cotangents accumulate in the
+    VMEM-resident output blocks across both time and batch-tile grid
+    steps.  This replaces the jnp backward's two extra 50-iteration
+    lax.scans (forward replay inside jax.vjp + the reverse scan), which
+    profiling showed were pure per-op overhead (~0.5us x ~48 ops x L per
+    step)."""
+    in_dtype = gx_ref.dtype
+    wgh = wgh_ref[:]
+    wch = wch_ref[:]
+    bg = bg_ref[:].astype(jnp.float32)
+    bc = bc_ref[:].astype(jnp.float32)
+    vec = vec_ref[:].astype(jnp.float32)
+    lengths = len_ref[:]      # [TB, 1] int32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_weight_grads():
+        dwgh_ref[:] = jnp.zeros_like(dwgh_ref)
+        dwch_ref[:] = jnp.zeros_like(dwch_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
+        dbc_ref[:] = jnp.zeros_like(dbc_ref)
+        dvec_ref[:] = jnp.zeros_like(dvec_ref)
+
+    def step(i, dh):
+        t = seq_len - 1 - i
+        h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
+                           out_ref_in[jnp.maximum(t - 1, 0)]
+                           .astype(jnp.float32))
+        gx = gx_ref[t].astype(jnp.float32)
+        cx = cx_ref[t].astype(jnp.float32)
+        # --- recompute the forward step (same math as _gru_scan_kernel) ---
+        h_op = h_prev.astype(in_dtype)
+        gates = jax.nn.sigmoid(
+            gx + jnp.dot(h_op, wgh, preferred_element_type=jnp.float32) + bg)
+        r = gates[:, :units]
+        u = gates[:, units:]
+        rh = r * h_prev
+        cand = jnp.tanh(
+            cx + jnp.dot(rh.astype(in_dtype), wch,
+                         preferred_element_type=jnp.float32) + bc)
+        alive = t < lengths                     # [TB,1]
+        d_new = jnp.where(alive, g_ref[t].astype(jnp.float32) + dh, 0.0)
+        # --- cell-mode head ---
+        if mode == "plain":
+            du = d_new * (h_prev - cand)
+            dh_next = d_new * u
+            dc = d_new * (1.0 - u)
+            de1 = jnp.zeros_like(dc)
+            de2 = jnp.zeros_like(dc)
+        elif mode == "tseqrec":
+            e1t = e1_ref[t].astype(jnp.float32)
+            e2t = e2_ref[t].astype(jnp.float32)
+            du = d_new * (h_prev * e1t - cand * e2t)
+            dh_next = d_new * u * e1t
+            dc = d_new * (1.0 - u) * e2t
+            de1 = d_new * u * h_prev
+            de2 = d_new * (1.0 - u) * cand
+        else:  # tgru
+            e1t = e1_ref[t].astype(jnp.float32)
+            e2t = e2_ref[t].astype(jnp.float32)
+            pre = e1t + h_prev * vec[0:1, :]
+            w = jnp.maximum(pre, 0.0)
+            ts = jax.nn.sigmoid(vec[1:2, :] * w + vec[2:3, :] * e2t
+                                + vec[3:4, :])
+            du = d_new * (h_prev - cand * ts)
+            dh_next = d_new * u
+            dc = d_new * (1.0 - u) * ts
+            dts = d_new * (1.0 - u) * cand
+            dz = dts * ts * (1.0 - ts)
+            dw = dz * vec[1:2, :]
+            m = (pre > 0.0).astype(jnp.float32)
+            de1 = dw * m
+            de2 = dz * vec[2:3, :]
+            dh_next = dh_next + dw * m * vec[0:1, :]
+            dvec_ref[0:1, :] += jnp.sum(dw * m * h_prev, axis=0,
+                                        keepdims=True)
+            dvec_ref[1:2, :] += jnp.sum(dz * w, axis=0, keepdims=True)
+            dvec_ref[2:3, :] += jnp.sum(dz * e2t, axis=0, keepdims=True)
+            dvec_ref[3:4, :] += jnp.sum(dz, axis=0, keepdims=True)
+        # --- candidate path ---
+        dac = dc * (1.0 - cand * cand)
+        dcx_ref[t] = dac
+        dbc_ref[:] += jnp.sum(dac, axis=0, keepdims=True)
+        d_rh = jnp.dot(dac.astype(in_dtype), wch.T,
+                       preferred_element_type=jnp.float32)
+        dwch_ref[:] += jnp.dot(rh.astype(in_dtype).T,
+                               dac.astype(in_dtype),
+                               preferred_element_type=jnp.float32)
+        dr = d_rh * h_prev
+        dh_next = dh_next + d_rh * r
+        # --- gate path ---
+        dgates = (jnp.concatenate([dr, du], axis=1)
+                  * gates * (1.0 - gates))
+        dgx_ref[t] = dgates
+        dbg_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dh_next = dh_next + jnp.dot(dgates.astype(in_dtype), wgh.T,
+                                    preferred_element_type=jnp.float32)
+        dwgh_ref[:] += jnp.dot(h_prev.astype(in_dtype).T,
+                               dgates.astype(in_dtype),
+                               preferred_element_type=jnp.float32)
+        de1_ref[t] = de1
+        de2_ref[t] = de2
+        # dead steps: cotangent passes straight through (h_next == h)
+        return jnp.where(alive, dh_next, dh)
+
+    dh0 = jax.lax.fori_loop(0, seq_len, step,
+                            jnp.zeros_like(h0_ref[:], jnp.float32))
+    dh0_ref[:] = dh0
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def gru_scan_bwd(mode: str, g, outs, gate_x, cand_x, e1, e2, lengths, h0,
+                 w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs):
+    """Pallas backward: returns cotangents for (gate_x, cand_x, e1, e2,
+    h0, w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs), all f32."""
+    b_sz, seq_len, u2 = gate_x.shape
+    units = u2 // 2
+    tile_b = min(_round_up(b_sz, 8), 32)
+    bp = _round_up(b_sz, tile_b)
+    n_tiles = bp // tile_b
+
+    def prep(x):
+        x = jnp.transpose(x, (1, 0, 2))
+        return jnp.pad(x, ((0, 0), (0, bp - b_sz), (0, 0)))
+
+    gp, op = prep(g), prep(outs)
+    gx, cx, e1p, e2p = prep(gate_x), prep(cand_x), prep(e1), prep(e2)
+    lens = jnp.pad(lengths.astype(jnp.int32), (0, bp - b_sz))[:, None]
+    h0p = jnp.pad(h0, ((0, bp - b_sz), (0, 0)))
+
+    tm = lambda f: pl.BlockSpec((seq_len, tile_b, f), lambda i: (0, i, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    w = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs_shape = (
+        jax.ShapeDtypeStruct((seq_len, bp, 2 * units), f32),   # dgx
+        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # dcx
+        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # de1
+        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # de2
+        jax.ShapeDtypeStruct((bp, units), f32),                # dh0
+        jax.ShapeDtypeStruct((units, 2 * units), f32),         # dwgh
+        jax.ShapeDtypeStruct((units, units), f32),             # dwch
+        jax.ShapeDtypeStruct((1, 2 * units), f32),             # dbg
+        jax.ShapeDtypeStruct((1, units), f32),                 # dbc
+        jax.ShapeDtypeStruct((4, units), f32),                 # dvec
+    )
+    res = pl.pallas_call(
+        functools.partial(_gru_scan_bwd_kernel, mode, seq_len, units),
+        grid=(n_tiles,),
+        in_specs=[
+            tm(units), tm(units), tm(2 * units), tm(units), tm(units),
+            tm(units),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, units), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            w(units, 2 * units), w(units, units), w(1, 2 * units),
+            w(1, units), w(4, units),
+        ],
+        out_specs=(
+            tm(2 * units), tm(units), tm(units), tm(units),
+            pl.BlockSpec((tile_b, units), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            w(units, 2 * units), w(units, units), w(1, 2 * units),
+            w(1, units), w(4, units),
+        ),
+        out_shape=outs_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bp * seq_len * units * 3 * units,
+            bytes_accessed=4 * bp * seq_len * 10 * units,
+            transcendentals=bp * seq_len * 3 * units,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(gp, op, gx, cx, e1p, e2p, lens, h0p,
+      w_gate_h, w_cand_h, b_gate[None, :], b_cand[None, :], cell_vecs)
+    dgx, dcx, de1, de2, dh0, dwgh, dwch, dbg, dbc, dvec = res
+
+    def unprep(x):  # [L,Bp,f] -> [B,L,f]
+        return jnp.transpose(x[:, :b_sz, :], (1, 0, 2))
+
+    return (unprep(dgx), unprep(dcx), unprep(de1), unprep(de2),
+            dh0[:b_sz], dwgh, dwch, dbg[0], dbc[0], dvec)
+
+
 def _reference_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
                     w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs):
     """jnp twin of the kernel (lax.scan), used for the backward pass."""
@@ -168,23 +363,27 @@ def gru_scan_vjp(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
 
 
 def _gs_fwd(mode, *args):
-    return gru_scan(mode, *args), args
+    out = gru_scan(mode, *args)
+    return out, (args, out)
 
 
 def _gs_bwd(mode, residuals, g):
+    """Fused Pallas reverse-time backward (gru_scan_bwd): recomputes the
+    gates from the saved forward outputs instead of replaying the whole
+    scan through jax.vjp — one kernel instead of two 50-iteration jnp
+    scans."""
+    args, outs = residuals
     (gate_x, cand_x, e1, e2, lengths, h0,
-     w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs) = residuals
-    # kernel emits f32; the reference scan under bf16 inputs emits bf16
-    g = g.astype(gate_x.dtype)
-    _, vjp = jax.vjp(
-        lambda gx, cx, e1_, e2_, h0_, wgh, wch, bg, bc, cv:
-        _reference_scan(mode, gx, cx, e1_, e2_, lengths, h0_,
-                        wgh, wch, bg, bc, cv),
-        gate_x, cand_x, e1, e2, h0, w_gate_h, w_cand_h, b_gate, b_cand,
-        cell_vecs)
-    dgx, dcx, de1, de2, dh0, dwgh, dwch, dbg, dbc, dcv = vjp(g)
-    return (dgx, dcx, de1, de2, jnp.zeros_like(lengths), dh0,
-            dwgh, dwch, dbg, dbc, dcv)
+     w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs) = args
+    dgx, dcx, de1, de2, dh0, dwgh, dwch, dbg, dbc, dcv = gru_scan_bwd(
+        mode, g, outs, gate_x, cand_x, e1, e2, lengths, h0,
+        w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs)
+    return (dgx.astype(gate_x.dtype), dcx.astype(cand_x.dtype),
+            de1.astype(e1.dtype), de2.astype(e2.dtype),
+            jnp.zeros_like(lengths), dh0.astype(h0.dtype),
+            dwgh.astype(w_gate_h.dtype), dwch.astype(w_cand_h.dtype),
+            dbg.astype(b_gate.dtype), dbc.astype(b_cand.dtype),
+            dcv.astype(cell_vecs.dtype))
 
 
 gru_scan_vjp.defvjp(_gs_fwd, _gs_bwd)
