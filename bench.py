@@ -52,6 +52,11 @@ def _setup():
         "model.experiment_type": "MTAM", "model.num_units": 128,
         "model.num_blocks": 3, "model.vocab_pad_multiple": 128,
         "model.compute_dtype": "bfloat16",
+        # fused GRU fwd+bwd kernel wins for training; the attention kernel
+        # is a net loss under grad (recompute bwd) so it stays off here —
+        # per-family honest timings in docs/PERFORMANCE.md
+        "model.use_pallas": True, "model.pallas_scope": "gru",
+        "model.scan_unroll": 10,
         "train.steps_per_call": STEPS_PER_CALL})
     meta = DatasetMeta(user_count=4832, item_count=3706, category_count=18,
                        max_seq_len=50)
