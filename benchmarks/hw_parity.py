@@ -1,0 +1,109 @@
+"""Hardware (Mosaic) parity checks for the Pallas kernels.
+
+The pytest suite runs the kernels in interpret mode on CPU, which is
+laxer than Mosaic in two ways that have bitten this repo:
+
+  * unwritten output blocks read as zeros in interpret mode but are
+    UNINITIALIZED memory on hardware (the tisas/plain gate-grad bug);
+  * Mosaic's transcendental approximations (exp/tanh/sigmoid) differ
+    from XLA's, so saturated-gate shapes can show ~1e-3 relative
+    forward drift that interpret mode cannot reproduce.
+
+Run this ON THE TPU after touching any kernel:
+
+    python benchmarks/hw_parity.py
+
+Timing rule (see docs/PERFORMANCE.md): never trust block_until_ready on
+this backend; every check here compares VALUES, not wall time.
+
+Tolerances: GRU scan fwd+bwd <= 1e-5 (pure polynomial/matmul path);
+attention fwd/grad <= 2e-2 relative (transcendental-heavy; observed
+worst ~1e-2 at single-query shapes, far below bf16 training noise).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def check_gru(jnp, jax):
+    from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
+    B, L, U = 16, 10, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    a = lambda i, sh: (jax.random.normal(ks[i], sh) * 0.3).astype(jnp.float32)
+    args = dict(gate_x=a(0, (B, L, 2 * U)), cand_x=a(1, (B, L, U)),
+                e1=a(2, (B, L, U)), e2=jnp.abs(a(3, (B, L, U))),
+                lengths=jnp.asarray(
+                    np.random.RandomState(0).randint(2, L + 1, B), jnp.int32),
+                h0=a(4, (B, U)), w_gate_h=a(5, (U, 2 * U)),
+                w_cand_h=a(6, (U, U)), b_gate=a(7, (2 * U,)),
+                b_cand=a(8, (U,)), cell_vecs=a(9, (4, U)))
+    keys = [k for k in args if k != "lengths"]
+    worst_all = 0.0
+    for mode in ("plain", "tseqrec", "tgru"):
+        def loss(fn, vals):
+            d = dict(zip(keys, vals))
+            d["lengths"] = args["lengths"]
+            return jnp.sum(jnp.sin(fn(
+                mode, d["gate_x"], d["cand_x"], d["e1"], d["e2"],
+                d["lengths"], d["h0"], d["w_gate_h"], d["w_cand_h"],
+                d["b_gate"], d["b_cand"], d["cell_vecs"])))
+        vals = [args[k] for k in keys]
+        gp = jax.jit(jax.grad(lambda v: loss(gk.gru_scan_vjp, v)))(vals)
+        gr = jax.jit(jax.grad(lambda v: loss(gk._reference_scan, v)))(vals)
+        worst = max(float(jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(y)) + 1e-8))
+                    for x, y in zip(gp, gr))
+        worst_all = max(worst_all, worst)
+        print(f"gru {mode}: worst rel grad diff {worst:.2e}")
+        assert worst < 1e-5, (mode, worst)
+    return worst_all
+
+
+def check_attention(jnp, jax):
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as ak
+    worst_all = 0.0
+    for mode, tq in (("time", 5), ("time", 1), ("time", 50),
+                     ("tisas", 5), ("plain", 5)):
+        B, TK, D = 8, 50, 128
+        ks = jax.random.split(jax.random.PRNGKey(0), 13)
+        a = lambda i, sh: (jax.random.normal(ks[i], sh) * 0.5).astype(jnp.float32)  # noqa: E731
+        q, k, v = a(0, (B, tq, D)), a(1, (B, TK, D)), a(2, (B, TK, D))
+        t_q = jnp.abs(a(3, (B, tq))) * 100
+        t_k = jnp.abs(a(4, (B, TK))) * 100
+        tqw, rawk = a(5, (B, tq, D)), a(6, (B, TK, D))
+        gate = [a(i, (tq, TK)) for i in range(7, 12)]
+        klen = jnp.asarray(np.random.RandomState(0).randint(2, TK + 1, B),
+                           jnp.int32)
+        diff = (q, k, v, tqw, rawk, *gate)
+
+        def loss(fn, args_):
+            return jnp.sum(jnp.sin(fn(
+                mode, args_[0], args_[1], args_[2], t_q, t_k, args_[3],
+                args_[4], args_[5], args_[6], args_[7], args_[8], args_[9],
+                klen)))
+        gp = jax.jit(jax.grad(lambda x: loss(ak.fused_attention, x)))(diff)
+        gr = jax.jit(jax.grad(lambda x: loss(ak._reference_middle, x)))(diff)
+        worst = max(float(jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(y)) + 1e-8))
+                    for x, y in zip(gp, gr))
+        worst_all = max(worst_all, worst)
+        print(f"attention {mode} tq={tq}: worst rel grad diff {worst:.2e}")
+        assert worst < 2e-2, (mode, tq, worst)
+    return worst_all
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() != "tpu":
+        print("WARNING: not on TPU — this runs interpret mode and cannot "
+              "catch Mosaic-only bugs")
+    check_gru(jnp, jax)
+    check_attention(jnp, jax)
+    print("hw_parity OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

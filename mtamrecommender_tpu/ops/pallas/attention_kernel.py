@@ -23,9 +23,13 @@ program.  The reference workload is L<=150 (max_len cap,
 config/model_parameter.py:38) so a padded single tile always fits VMEM;
 rows longer than MAX_KEYS fall back to the jnp path.
 
-Backward: custom_vjp recomputes through the jnp reference middle — the
-parity tests (tests/test_pallas.py) pin the forward to the reference, so
-gradients stay consistent while the bwd kernel lands later.
+Backward: the single-tile path has a fused bwd kernel
+(`_attn_bwd_kernel`) that recomputes scores/softmax in VMEM from the
+inputs (flash-style, no [Tq,Tk] residual in HBM) and backpropagates
+through the weighted sum, softmax, decay gate and score matmul in one
+program; gate-parameter cotangents accumulate across the batch grid.
+The long-history blockwise path falls back to a jnp recompute vjp.
+Parity: tests/test_pallas.py (interpret) + hardware grad checks ≤5e-4.
 """
 
 from __future__ import annotations
@@ -269,6 +273,179 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
     return out[:, :tq, :]
 
 
+def _attn_bwd_kernel(mode: str, scale: float,
+                     g_ref, q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref,
+                     rawk_ref, w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
+                     klen_ref,
+                     dq_ref, dk_ref, dv_ref, dtqw_ref, drawk_ref,
+                     dw1_ref, db1_ref, dwo1_ref, dwo2_ref, dbo_ref):
+    """Fused backward for the single-tile attention middle.
+
+    Recomputes scores/softmax in VMEM from the saved inputs (flash-style
+    — no [Tq,Tk] residual in HBM), then backpropagates through the
+    weighted sum, softmax, decay gate and score matmul in one kernel.
+    Gate-parameter cotangents ([Tq,Tk] matrices) accumulate across the
+    batch grid in their VMEM-resident output blocks."""
+    in_dtype = q_ref.dtype
+    g = g_ref[0].astype(jnp.float32)        # [TQ, d] cotangent of out
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    tk_len = klen_ref[pl.program_id(0)]
+
+    # zero the gate-grad accumulators in EVERY mode: on hardware an
+    # unwritten output block is uninitialized memory, not zeros
+    # (interpret mode zero-fills and hides this)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwo1_ref[...] = jnp.zeros_like(dwo1_ref)
+        dwo2_ref[...] = jnp.zeros_like(dwo2_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    # ---- forward recompute (same math as _attn_kernel) ----
+    s0 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if mode in ("time", "tisas"):
+        logdt = jnp.log1p(jnp.abs(tq_ref[0] - tk_ref[0].T))
+    if mode == "time":
+        tqw = tqw_ref[0]
+        rawk = rawk_ref[0]
+        time_qk = jnp.tanh(jax.lax.dot_general(
+            tqw, rawk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        w1 = w1_ref[:].astype(jnp.float32)
+        b1 = b1_ref[:].astype(jnp.float32)
+        wo1 = wo1_ref[:].astype(jnp.float32)
+        wo2 = wo2_ref[:].astype(jnp.float32)
+        bo = bo_ref[:].astype(jnp.float32)
+        decay = jnp.tanh(logdt * w1 + b1)
+        sig = jax.nn.sigmoid(wo1 * decay + wo2 * time_qk + bo)
+        scores = s0 * sig * scale
+    elif mode == "tisas":
+        scores = (s0 + logdt) * scale
+    else:
+        scores = s0 * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < tk_len, scores, NEG_FILL)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    weights = e / denom                      # [TQ, TK]
+
+    # ---- backward ----
+    dv_ref[0] = jax.lax.dot_general(
+        weights.astype(in_dtype), g.astype(in_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwei = jax.lax.dot_general(
+        g.astype(in_dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TQ, TK]
+    # softmax jvp transpose: ds = w * (dw - sum(dw*w))
+    ds = weights * (dwei - jnp.sum(dwei * weights, axis=1, keepdims=True))
+    # masked cols have weights == 0 -> ds == 0 there already
+    if mode == "time":
+        dsig = ds * s0 * scale
+        ds0 = ds * sig * scale
+        dgate = dsig * sig * (1.0 - sig)
+        ddec = dgate * wo1
+        dpre_dec = ddec * (1.0 - decay * decay)
+        dtqk = dgate * wo2
+        dpre_tqk = dtqk * (1.0 - time_qk * time_qk)
+        dw1_ref[...] += dpre_dec * logdt
+        db1_ref[...] += dpre_dec
+        dwo1_ref[...] += dgate * decay
+        dwo2_ref[...] += dgate * time_qk
+        dbo_ref[...] += dgate
+        dtqw_ref[0] = jnp.dot(dpre_tqk.astype(in_dtype), rawk,
+                              preferred_element_type=jnp.float32)
+        drawk_ref[0] = jax.lax.dot_general(
+            dpre_tqk.astype(in_dtype), tqw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        ds0 = ds * scale
+        dtqw_ref[0] = jnp.zeros_like(dtqw_ref[0])
+        drawk_ref[0] = jnp.zeros_like(drawk_ref[0])
+    dq_ref[0] = jnp.dot(ds0.astype(in_dtype), k,
+                        preferred_element_type=jnp.float32)
+    dk_ref[0] = jax.lax.dot_general(
+        ds0.astype(in_dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
+                         w1, b1, wo1, wo2, bo, key_len):
+    """Pallas backward for the single-tile path; returns f32 cotangents
+    (dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo)."""
+    b_sz, tq, d = q.shape
+    tk = k.shape[1]
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    tqp = _round_up(tq, sublane)
+    tkp = _round_up(tk, 128)
+    scale = 1.0 / (d ** 0.5)
+
+    gp = _pad_seq(g.astype(jnp.float32), tqp, 1)
+    qp = _pad_seq(q, tqp, 1)
+    kp = _pad_seq(k, tkp, 1)
+    vp = _pad_seq(v, tkp, 1)
+    tqv = _pad_seq(t_q.astype(jnp.float32), tqp, 1)[..., None]
+    tkv = _pad_seq(t_k.astype(jnp.float32), tkp, 1)[..., None]
+    tqwp = _pad_seq(tqw, tqp, 1)
+    rawkp = _pad_seq(rawk, tkp, 1)
+    gate = [_pad_seq(_pad_seq(x, tqp, 0), tkp, 1)
+            for x in (w1, b1, wo1, wo2, bo)]
+
+    row3 = lambda t, dd: pl.BlockSpec((1, t, dd),  # noqa: E731
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((b_sz, tqp, d), f32),   # dq
+        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # dk
+        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # dv
+        jax.ShapeDtypeStruct((b_sz, tqp, d), f32),   # dtqw
+        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # drawk
+        jax.ShapeDtypeStruct((tqp, tkp), f32),       # dw1
+        jax.ShapeDtypeStruct((tqp, tkp), f32),       # db1
+        jax.ShapeDtypeStruct((tqp, tkp), f32),       # dwo1
+        jax.ShapeDtypeStruct((tqp, tkp), f32),       # dwo2
+        jax.ShapeDtypeStruct((tqp, tkp), f32),       # dbo
+    )
+    res = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, mode, scale),
+        grid=(b_sz,),
+        in_specs=[
+            row3(tqp, d), row3(tqp, d), row3(tkp, d), row3(tkp, d),
+            row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
+            full2, full2, full2, full2, full2,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(row3(tqp, d), row3(tkp, d), row3(tkp, d),
+                   row3(tqp, d), row3(tkp, d),
+                   full2, full2, full2, full2, full2),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_sz * tqp * tkp * (2 * d + 8),
+            bytes_accessed=4 * b_sz * (4 * tqp * d + 6 * tkp * d),
+            transcendentals=b_sz * tqp * tkp * 4,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(gp, qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
+      key_len.astype(jnp.int32))
+    dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = res
+    cut = lambda x, t: x[:, :t, :]  # noqa: E731
+    return (cut(dq, tq), cut(dk, tk), cut(dv, tk), cut(dtqw, tq),
+            cut(drawk, tk),
+            dw1[: w1.shape[0], : w1.shape[1]],
+            db1[: b1.shape[0], : b1.shape[1]],
+            dwo1[: wo1.shape[0], : wo1.shape[1]],
+            dwo2[: wo2.shape[0], : wo2.shape[1]],
+            dbo[: bo.shape[0], : bo.shape[1]])
+
+
 def _reference_middle(mode: str, q, k, v, t_q, t_k, tqw, rawk,
                       w1, b1, wo1, wo2, bo, key_len):
     """jnp twin of the kernel, used for the backward pass."""
@@ -307,8 +484,19 @@ def _fa_fwd(mode, q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len):
 
 def _fa_bwd(mode, residuals, g):
     (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len) = residuals
-    # the kernel emits f32; the reference middle under bf16 inputs emits
-    # bf16 — align the cotangent dtype before the recompute-vjp
+    tkp = _round_up(k.shape[1], 128)
+    if tkp <= SINGLE_TILE_KEYS:
+        # fused single-tile backward: recomputes scores/softmax in VMEM
+        dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = \
+            _fused_attention_bwd(mode, g, q, k, v, t_q, t_k, tqw, rawk,
+                                 w1, b1, wo1, wo2, bo, key_len)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                jnp.zeros_like(t_q), jnp.zeros_like(t_k),
+                dtqw.astype(tqw.dtype), drawk.astype(rawk.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dwo1.astype(wo1.dtype), dwo2.astype(wo2.dtype),
+                dbo.astype(bo.dtype), jnp.zeros_like(key_len))
+    # long-history fallback: recompute through the jnp reference middle
     g = g.astype(q.dtype)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, tqw_, rawk_, w1_, b1_, wo1_, wo2_, bo_:
