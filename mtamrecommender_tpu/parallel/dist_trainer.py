@@ -66,6 +66,63 @@ def make_sharded_train_step(model: ModelDef, cfg: ExperimentConfig,
     )
 
 
+def make_sharded_superstep(model: ModelDef, cfg: ExperimentConfig,
+                           optimizer: optax.GradientTransformation,
+                           mesh, params_template: Any, valid_vocab: int,
+                           batch_size: int):
+    """Sharded twin of train/trainer.make_superstep: `lax.scan` of K
+    optimizer steps per jit call over a mesh-replicated device-resident
+    dataset, with the per-step gathered batch constrained to the DP
+    sharding so XLA partitions every step SPMD (grad psum over 'data',
+    EP/TP collectives for sharded tables).  Same rng split chain and
+    gather as the single-device superstep — trajectory parity pinned by
+    tests/test_parallel.py."""
+    import jax.numpy as jnp
+
+    from mtamrecommender_tpu.data.device_data import gather_batch
+
+    p_shard = shard_lib.param_shardings(mesh, cfg.mesh, params_template)
+    o_shard = shard_lib.replicated_tree(
+        mesh, jax.eval_shape(optimizer.init, params_template))
+    b_shard = shard_lib.batch_shardings(mesh, cfg.mesh)
+    rep = shard_lib.replicated_tree(mesh, 0)
+
+    def build(n_sub: int):
+        def superstep(params, opt_state, data, order, start_step, rng):
+            def body(carry, k):
+                params, opt_state, rng = carry
+                keys = jax.random.split(rng)
+                step_rng, rng = keys[0], keys[1]
+                batch = gather_batch(data, order, start_step + k, batch_size)
+                batch = jax.lax.with_sharding_constraint(batch, b_shard)
+
+                def loss_fn(p):
+                    m = compute_loss(model, p, cfg.model, batch, True,
+                                     step_rng, valid_vocab)
+                    return m["loss"], m
+
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, new_opt = optimizer.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return (new_params, new_opt, rng), metrics
+
+            (params, opt_state, rng), stacked = jax.lax.scan(
+                body, (params, opt_state, rng),
+                jnp.arange(n_sub, dtype=jnp.int32))
+            return params, opt_state, stacked, rng
+
+        metrics_shard = {"loss": rep, "ce": rep, "l2": rep}
+        return jax.jit(
+            superstep,
+            in_shardings=(p_shard, o_shard, None, rep, None, rep),
+            out_shardings=(p_shard, o_shard, metrics_shard, rep),
+            donate_argnums=(0, 1),
+        )
+
+    return build
+
+
 def make_sharded_eval_step(model: ModelDef, cfg: ExperimentConfig, mesh,
                            params_template: Any,
                            ks: Sequence[int] = eval_lib.TOPK,

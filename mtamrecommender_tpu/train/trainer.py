@@ -236,6 +236,7 @@ class Trainer:
                 lambda r: self.model.init(r, self.cfg.model,
                                           self.train_data.meta),
                 jax.random.PRNGKey(0))
+            self._params_template = template
             self.train_step = dist_trainer.make_sharded_train_step(
                 self.model, self.cfg, self.optimizer, self.mesh, template,
                 self.valid_vocab)
@@ -248,11 +249,19 @@ class Trainer:
                 self.cfg.train.train_batch_size)
         else:
             self.device_train_step = None
-        if self.device_train_step is not None and \
-                self.cfg.train.steps_per_call > 1:
-            self._superstep_factory = make_superstep(
-                self.model, self.cfg, self.optimizer, self.valid_vocab,
-                self.cfg.train.train_batch_size)
+        if self.cfg.train.steps_per_call > 1 and self.device_resident:
+            if self.mesh is None:
+                self._superstep_factory = make_superstep(
+                    self.model, self.cfg, self.optimizer, self.valid_vocab,
+                    self.cfg.train.train_batch_size)
+            else:
+                # sharded superstep: K SPMD steps per jit call over the
+                # mesh-replicated device-resident dataset
+                from mtamrecommender_tpu.parallel import dist_trainer
+                self._superstep_factory = dist_trainer.make_sharded_superstep(
+                    self.model, self.cfg, self.optimizer, self.mesh,
+                    self._params_template, self.valid_vocab,
+                    self.cfg.train.train_batch_size)
         else:
             self._superstep_factory = None
         self._superstep_cache: Dict[int, Any] = {}
@@ -351,11 +360,20 @@ class Trainer:
         self.evaluate(state)  # initial eval (train_process.py:308)
         epochs = max_epochs if max_epochs is not None else cfg_t.max_epochs
         self._avg_loss, self._seen = 0.0, 0
-        use_device_data = self.device_train_step is not None
+        use_device_data = (self.device_train_step is not None
+                           or (self.mesh is not None
+                               and self._superstep_factory is not None))
         if use_device_data:
             from mtamrecommender_tpu.data import device_data as dd
             if self._device_data is None:
                 self._device_data = dd.to_device(self.train_data)
+                if self.mesh is not None:
+                    from mtamrecommender_tpu.parallel import \
+                        sharding as shard_lib
+                    self._device_data = jax.device_put(
+                        self._device_data,
+                        shard_lib.replicated_tree(self.mesh,
+                                                  self._device_data))
 
         def on_step(metrics, fetch_every_step: bool) -> bool:
             """Shared display/eval/save cadence; returns True to stop.
@@ -404,12 +422,18 @@ class Trainer:
                 from mtamrecommender_tpu.data import device_data as dd
                 order_np, n_steps = dd.epoch_order(
                     len(self.train_data), cfg_t.train_batch_size, self.np_rng)
-                order = jax.device_put(order_np)
+                if self.mesh is not None:
+                    from mtamrecommender_tpu.parallel import \
+                        sharding as shard_lib
+                    order = jax.device_put(
+                        order_np, shard_lib.replicated_tree(self.mesh, 0))
+                else:
+                    order = jax.device_put(order_np)
                 i = skip
                 while i < n_steps and not stop:
                     chunk = self._chunk_size(state.step, n_steps - i,
                                              max_steps)
-                    if chunk > 1:
+                    if chunk > 1 or self.device_train_step is None:
                         fn = self._superstep_cache.get(chunk)
                         if fn is None:
                             fn = self._superstep_factory(chunk)

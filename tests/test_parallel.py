@@ -140,6 +140,65 @@ def test_sharded_matches_unsharded_training_trajectory(devices):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_superstep_matches_sharded_per_step(devices):
+    """K SPMD optimizer steps scanned in one jit call must reproduce the
+    per-step sharded path exactly (same rng split chain, same gathers,
+    EP tables sharded over the model axis)."""
+    from mtamrecommender_tpu.data.device_data import (DeviceDataset,
+                                                      epoch_order, to_device)
+    from mtamrecommender_tpu.data.pipeline import pack_examples
+    from mtamrecommender_tpu.parallel.dist_trainer import \
+        make_sharded_superstep
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.num_units": 8, "model.num_blocks": 1, "model.dropout": 0.0,
+        "model.vocab_pad_multiple": 16,
+        "mesh.model_axis_size": 2, "mesh.shard_embeddings": True})
+    mesh = build_mesh(cfg.mesh)
+    meta = make_meta(item_count=30, max_seq_len=6)
+    mdef = get_model("Gru4Rec")
+    params = mdef.init(jax.random.PRNGKey(0), cfg.model, meta)
+    opt = make_optimizer(cfg.train)
+    B, K = 8, 4
+
+    # device-resident data: N rows from a batch helper
+    big = make_batch(meta, batch_size=32, seed=7)
+    data = DeviceDataset(
+        user_id=big.user_id, items=big.items, cats=big.cats, times=big.times,
+        time_last=big.time_last, time_now=big.time_now,
+        positions=big.positions, target_id=big.target_id,
+        target_cat=big.target_cat, target_time=big.target_time,
+        seq_len=big.seq_len)
+    data = jax.device_put(data, shard_lib.replicated_tree(mesh, data))
+    order_np, n_steps = epoch_order(32, B, np.random.RandomState(0))
+    order = jax.device_put(order_np, shard_lib.replicated_tree(mesh, 0))
+    assert n_steps == K
+
+    template = jax.eval_shape(lambda r: mdef.init(r, cfg.model, meta),
+                              jax.random.PRNGKey(0))
+
+    def run(steps_per_call):
+        placed = shard_lib.place_params(
+            mesh, cfg.mesh, jax.device_get(params))
+        o_pl = jax.device_put(
+            opt.init(placed), shard_lib.replicated_tree(mesh,
+                                                        opt.init(placed)))
+        fn = make_sharded_superstep(mdef, cfg, opt, mesh, template,
+                                    meta.item_vocab, B)(steps_per_call)
+        rng = jax.random.PRNGKey(3)
+        for c in range(K // steps_per_call):
+            placed, o_pl, stacked, rng = fn(placed, o_pl, data, order,
+                                            c * steps_per_call, rng)
+        assert stacked["loss"].shape == (steps_per_call,)
+        return jax.device_get(placed)
+
+    p_k = run(K)
+    p_1 = run(1)
+    for a, b in zip(jax.tree.leaves(p_k), jax.tree.leaves(p_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_shard_map_embedding_engines_exact(devices):
     """Explicit EP lookups (psum-assemble and all-to-all exchange,
     parallel/embedding_shard.py) vs. the replicated gather."""
