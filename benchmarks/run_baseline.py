@@ -40,57 +40,35 @@ DEFAULT_MODELS = ["MTAM", "T_SeqRec", "Gru4Rec", "SASrec",
 
 def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
             train, test, cfg_base) -> dict:
-    import jax
-
     from mtamrecommender_tpu.models.registry import get_model
     from mtamrecommender_tpu.train.trainer import Trainer
 
     over = {"model.experiment_type": name}
     if use_pallas:
         over["model.use_pallas"] = True
+        over["model.pallas_scope"] = "gru"   # measured winner for training
     if bf16:
         over["model.compute_dtype"] = "bfloat16"
     cfg = cfg_base.with_overrides(**over)
     trainer = Trainer(cfg=cfg, model=get_model(name), train_data=train,
                       test_data=test,
                       run_dir=f"benchmarks/results/runs/{name}")
-    state = trainer.init_state()
-
-    # steady-state throughput: time steps 10..60 after warmup
-    from mtamrecommender_tpu.data.pipeline import batch_iterator
-    import numpy as np
-    bs = cfg.train.train_batch_size
-    warm = 10
-    t_start = None
-    timed_steps = 0
-    rng = np.random.RandomState(0)
+    # fit runs the device-resident superstep path (steps_per_call from
+    # cfg.train): dispatch-free training; best-so-far tracked on the
+    # eval_freq cadence like the reference (train_process.py:279-288)
     t_wall = time.time()
-    while state.step < steps:
-        for _, batch in batch_iterator(train, bs, shuffle=True, rng=rng,
-                                       drop_remainder=True):
-            step_rng = jax.random.PRNGKey(state.step)
-            state.params, state.opt_state, metrics = trainer.train_step(
-                state.params, state.opt_state, batch, step_rng)
-            state.step += 1
-            if state.step == warm:
-                jax.block_until_ready(state.params)
-                t_start = time.time()
-            if state.step >= steps:
-                break
-        if state.step >= steps:
-            break
-    jax.block_until_ready(state.params)
-    timed_steps = state.step - warm
-    throughput = bs * timed_steps / (time.time() - t_start) \
-        if t_start and timed_steps > 0 else 0.0
-
+    state = trainer.fit(max_epochs=10 ** 9, max_steps=steps)
+    wall = time.time() - t_wall
     m = trainer.evaluate(state)
+    bs = cfg.train.train_batch_size
     return {
         "model": name,
         "steps": state.step,
-        "wall_s": round(time.time() - t_wall, 1),
-        "examples_per_s": round(throughput, 1),
-        "final_loss": float(metrics["loss"]),
+        "wall_s": round(wall, 1),
+        # end-to-end including compiles and evals — the isolated
+        # train-step throughput lives in bench.py / kernels_r3_honest
+        "examples_per_s_e2e": round(bs * state.step / wall, 1),
+        **{f"best_{k}": round(v, 4) for k, v in trainer.best.items()},
         **{k: round(v, 4) for k, v in m.items()},
     }
 
@@ -108,6 +86,10 @@ def main() -> int:
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--num_units", type=int, default=128)
+    ap.add_argument("--eval_freq", type=int, default=10_000_000,
+                    help="best-so-far eval cadence (default: end only)")
+    ap.add_argument("--steps_per_call", type=int, default=100,
+                    help="superstep size (1 = per-step dispatch)")
     args = ap.parse_args()
 
     from mtamrecommender_tpu.config import ExperimentConfig
@@ -121,8 +103,9 @@ def main() -> int:
         "data.dataset": args.dataset,
         "data.synth_events_per_user": args.events_per_user,
         "model.num_units": args.num_units,
-        "train.eval_freq": 10_000_000,     # eval once at the end
+        "train.eval_freq": args.eval_freq,
         "train.display_freq": 500,
+        "train.steps_per_call": args.steps_per_call,
     })
     origin = load_origin_data(cfg_base.data)
     print(f"events={len(origin)}", flush=True)
