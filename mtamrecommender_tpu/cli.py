@@ -183,9 +183,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     ckpt_dir = os.path.join("data", "check_point", run_name)
     checkpointer = Checkpointer(ckpt_dir)
     state = trainer.init_state()
-    state, cursor = apply_load_type(cfg.train, state, ckpt_dir,
-                                    optimizer_init=trainer.optimizer.init,
-                                    with_cursor=True)
+    try:
+        state, cursor = apply_load_type(cfg.train, state, ckpt_dir,
+                                        optimizer_init=trainer.optimizer.init,
+                                        with_cursor=True)
+    except FileNotFoundError as exc:
+        # load_type=full before the first save (e.g. a fleet retry of a
+        # run that crashed pre-checkpoint): start from scratch instead of
+        # refusing to run
+        logger.info("no checkpoint to restore (%s); training from scratch",
+                    exc)
+        cursor = None
     start_epoch = skip_steps = 0
     if cursor is not None:
         start_epoch, skip_steps = trainer.resume_from_cursor(cursor, state)

@@ -30,17 +30,22 @@ BATCH_SIZE_TABLE: Dict[str, int] = {
 
 
 def launch(dataset: str, model: str, extra: List[str], run_root: str,
-           log_dir: str) -> subprocess.Popen:
+           log_dir: str, version: str, resume: bool = False
+           ) -> subprocess.Popen:
     os.makedirs(log_dir, exist_ok=True)
     cmd = [sys.executable, "-m", "mtamrecommender_tpu",
            "--type", dataset, "--experiment_type", model,
-           "--version", f"fleet_{int(time.time())}",
-           "--run_root", run_root]
+           "--version", version, "--run_root", run_root]
     if model in BATCH_SIZE_TABLE:
         cmd += ["--train_batch_size", str(BATCH_SIZE_TABLE[model])]
+    if resume:
+        # elastic recovery: restore the run's latest checkpoint and its
+        # data cursor (exact resume, train/checkpoint.py); the version
+        # stays the same so the checkpoint dir matches
+        cmd += ["--set", "train.load_type=full"]
     cmd += extra
     log_path = os.path.join(log_dir, f"{dataset}_{model}.log")
-    log_file = open(log_path, "w")
+    log_file = open(log_path, "a" if resume else "w")
     return subprocess.Popen(cmd, stdout=log_file, stderr=subprocess.STDOUT)
 
 
@@ -53,6 +58,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--run_root", default="data/runs")
     p.add_argument("--log_dir", default="data/log_data/fleet")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--retries", type=int, default=1,
+                   help="per-experiment retries; a retry resumes from the "
+                        "run's latest checkpoint (load_type=full)")
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
@@ -65,21 +73,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     for s in args.set:
         extra += ["--set", s]
 
-    queue = [(d, m) for d in args.datasets for m in args.models]
+    stamp = int(time.time())
+    queue = [(d, m, 0) for d in args.datasets for m in args.models]
     running: List = []
     failures = 0
     while queue or running:
         while queue and len(running) < args.concurrency:
-            dataset, model = queue.pop(0)
-            proc = launch(dataset, model, extra, args.run_root, args.log_dir)
-            print(f"[fleet] started {dataset}/{model} (pid {proc.pid})")
-            running.append((dataset, model, proc))
+            dataset, model, attempt = queue.pop(0)
+            version = f"fleet_{stamp}"
+            proc = launch(dataset, model, extra, args.run_root,
+                          args.log_dir, version, resume=attempt > 0)
+            print(f"[fleet] started {dataset}/{model} (pid {proc.pid}"
+                  + (f", resume attempt {attempt}" if attempt else "") + ")")
+            running.append((dataset, model, attempt, proc))
         time.sleep(1.0)
         still = []
-        for dataset, model, proc in running:
+        for dataset, model, attempt, proc in running:
             code = proc.poll()
             if code is None:
-                still.append((dataset, model, proc))
+                still.append((dataset, model, attempt, proc))
+            elif code != 0 and attempt < args.retries:
+                print(f"[fleet] {dataset}/{model} FAILED rc={code}; "
+                      f"re-enqueueing with checkpoint resume")
+                queue.append((dataset, model, attempt + 1))
             else:
                 status = "ok" if code == 0 else f"FAILED rc={code}"
                 print(f"[fleet] finished {dataset}/{model}: {status}")
