@@ -203,6 +203,36 @@ def test_missing_checkpoint_raises(tmp_path):
         ckpt.restore(None)
 
 
+def test_load_type_with_cursor(synth_data, tmp_path):
+    """apply_load_type(with_cursor=True) returns (state, cursor):
+    the saved cursor for 'full', None for from_scratch/fine_tune and for
+    pre-cursor checkpoints."""
+    train, _ = synth_data
+    cfg = _tiny_cfg("bpr")
+    model = get_model("bpr")
+    params = model.init(jax.random.PRNGKey(0), cfg.model, train.meta)
+    opt = make_optimizer(cfg.train)
+    state = TrainState(params=params, opt_state=opt.init(params), step=7)
+    cur = {"epoch": 2, "step_at_epoch_start": 5,
+           "rng": [0, 1], "np_keys": [3] * 624, "np_pos": 4,
+           "np_has_gauss": 0, "np_cached": 0.0}
+    with_dir = str(tmp_path / "with")
+    Checkpointer(with_dir).save(state, cursor=cur, wait=True)
+    without_dir = str(tmp_path / "without")
+    Checkpointer(without_dir).save(state, wait=True)
+
+    cfg_full = cfg.train.__class__(**{**cfg.train.__dict__,
+                                      "load_type": "full"})
+    out, got = apply_load_type(cfg_full, state, with_dir, with_cursor=True)
+    assert out.step == 7 and got["epoch"] == 2 \
+        and got["step_at_epoch_start"] == 5
+    out, got = apply_load_type(cfg_full, state, without_dir,
+                               with_cursor=True)
+    assert out.step == 7 and got is None
+    out, got = apply_load_type(cfg.train, state, with_dir, with_cursor=True)
+    assert got is None  # from_scratch never resumes a cursor
+
+
 def test_auc_metric():
     import jax
     from mtamrecommender_tpu.train.evaluate import auc
