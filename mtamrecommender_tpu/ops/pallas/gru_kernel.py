@@ -40,11 +40,13 @@ def _round_up(x: int, m: int) -> int:
 
 # batch rows per grid program.  [TB, u] x [u, 2u] state matmuls use TB of
 # the MXU's 128 rows, so bigger tiles would raise MXU row utilization —
-# but the BACKWARD kernel carries ~10 [L, TB, *] blocks and already sits
-# near the 16 MB scoped-VMEM limit at TB=32; TB=64 fails to compile
-# (29.75M > 16M scoped vmem, measured on v5e).  32 is the ceiling until
-# the bwd streams its time blocks instead of holding whole sequences.
-_TILE_B = 32
+# but VMEM bounds them: the BACKWARD kernel carries ~10 [L, TB, *] blocks
+# and already sits near the 16 MB scoped-VMEM limit at TB=32 (TB=64
+# fails to compile: 29.75M > 16M scoped vmem, v5e), while the forward
+# holds ~7 blocks and fits TB=64.  Streaming the bwd's time axis would
+# lift its ceiling; until then the tiles differ.
+_TILE_B_FWD = 64
+_TILE_B_BWD = 32
 
 
 def _gru_scan_kernel(mode: str, seq_len: int, units: int,
@@ -96,7 +98,7 @@ def gru_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
     cell_vecs: [4,u] (tgru) or zeros.  Returns outputs [B,L,u]."""
     b_sz, seq_len, u2 = gate_x.shape
     units = u2 // 2
-    tile_b = min(_round_up(b_sz, 8), _TILE_B)
+    tile_b = min(_round_up(b_sz, 8), _TILE_B_FWD)
     bp = _round_up(b_sz, tile_b)
     n_tiles = bp // tile_b
 
@@ -265,7 +267,7 @@ def gru_scan_bwd(mode: str, g, outs, gate_x, cand_x, e1, e2, lengths, h0,
     h0, w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs), all f32."""
     b_sz, seq_len, u2 = gate_x.shape
     units = u2 // 2
-    tile_b = min(_round_up(b_sz, 8), _TILE_B)
+    tile_b = min(_round_up(b_sz, 8), _TILE_B_BWD)
     bp = _round_up(b_sz, tile_b)
     n_tiles = bp // tile_b
 
