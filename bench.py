@@ -113,16 +113,17 @@ def _run_per_step(jax, _make_batch, cfg, meta, model, params, opt,
 
     step = make_train_step(model, cfg, opt, meta.item_vocab)
     batch = _make_batch(meta, BATCH)
+    import numpy as np
     steps, warmup = 100, 10
     rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
     for i in range(warmup):
         params, opt_state, m = step(params, opt_state, batch, rngs[i])
-    jax.block_until_ready((params, m))
+    assert np.isfinite(float(np.asarray(m["loss"])))   # fetch-synced
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, m = step(params, opt_state, batch,
                                     rngs[warmup + i])
-    jax.block_until_ready((params, m))
+    assert np.isfinite(float(np.asarray(m["loss"])))
     return BATCH * steps / (time.perf_counter() - t0)
 
 
