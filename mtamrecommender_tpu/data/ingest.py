@@ -245,6 +245,10 @@ def load_synthetic_timed(cfg: DataConfig) -> pd.DataFrame:
         weights_by_cat.append(w / w.sum() if n else w)
 
     def derangement() -> np.ndarray:
+        if cats < 2:
+            # no derangement exists: the category hop degenerates to the
+            # identity instead of looping forever (VERDICT.md r2 weak-2)
+            return np.arange(cats)
         while True:
             p = rng.permutation(cats)
             if not np.any(p == np.arange(cats)):

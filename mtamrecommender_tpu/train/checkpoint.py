@@ -53,12 +53,15 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def _has_cursor(self, step: int) -> bool:
+    def _item_names(self, step: int):
         try:
-            meta = self.manager.item_metadata(step)
-            return "cursor" in meta
+            return set(self.manager.item_metadata(step).keys())
         except Exception:
-            return False
+            return None
+
+    def _has_cursor(self, step: int) -> bool:
+        names = self._item_names(step)
+        return names is not None and "cursor" in names
 
     def restore(self, template: TrainState, step: Optional[int] = None,
                 with_cursor: bool = False):
@@ -71,6 +74,18 @@ class Checkpointer:
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct,
             {"params": template.params, "opt_state": template.opt_state})
+        names = self._item_names(step)
+        if names is None or "state" not in names:
+            # legacy layout: written by the pre-Composite code as a plain
+            # StandardSave (Orbax stores it as the single unnamed 'default'
+            # item, for which item_metadata returns None), so requesting
+            # the Composite 'state' item raises ValueError — restore
+            # top-level instead (ADVICE.md r1; no cursor in that era)
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+            state = TrainState(params=restored["params"],
+                               opt_state=restored["opt_state"], step=int(step))
+            return (state, None) if with_cursor else state
         items = {"state": ocp.args.StandardRestore(abstract)}
         want_cursor = with_cursor and self._has_cursor(step)
         if want_cursor:

@@ -357,6 +357,19 @@ class Trainer:
         the per-step rng chain fast-forwarded to match."""
         cfg_t = self.cfg.train
         state = state or self.init_state()
+        if max_steps is not None and state.step >= max_steps:
+            # resumed at/past the step budget (e.g. a fleet retry of a job
+            # killed after reaching max_steps but before its clean exit):
+            # run ZERO optimizer steps — eval/save/report only (ADVICE.md r1)
+            self.evaluate(state)
+            for k in self.cfg.train.topk:
+                self.logger.info(
+                    "Max recall rate @ %d: %.4f   ndcg @ %d: %.4f", k,
+                    self.best.get(f"hr@{k}", 0.0), k,
+                    self.best.get(f"ndcg@{k}", 0.0))
+            if checkpointer is not None:
+                checkpointer.save(state, cursor=self._cursor)
+            return state
         self.evaluate(state)  # initial eval (train_process.py:308)
         epochs = max_epochs if max_epochs is not None else cfg_t.max_epochs
         self._avg_loss, self._seen = 0.0, 0

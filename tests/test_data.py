@@ -159,3 +159,77 @@ def test_synthetic_sessions_generator():
     # deterministic for a fixed seed
     df2 = load_synthetic_sessions(cfg)
     assert df.equals(df2)
+
+
+def test_synthetic_timed_gap_buckets():
+    """Pin the gap-decisive generator's statistics (VERDICT.md r2 weak-2):
+    three separated gap buckets at the documented rates, and each bucket's
+    conditional rule (session-continue / derangement hop / anchor return)
+    actually holds in the emitted log."""
+    from mtamrecommender_tpu.data.ingest import load_synthetic_timed
+    cfg = DataConfig(dataset="synthetic_timed", synth_users=120,
+                     synth_items=80, synth_categories=6,
+                     synth_events_per_user=40)
+    df = load_synthetic_timed(cfg)
+    assert set(df.columns) == {"user_id", "item_id", "time_stamp", "cat_id"}
+    short = medium = long_ = 0
+    anchor_hits = long_total = 0
+    same_cat = short_total = 0
+    med_pairs = []
+    for _, g in df.groupby("user_id"):
+        t = g.time_stamp.values
+        items = g.item_id.values
+        cats = g.cat_id.values
+        gaps = np.diff(t)
+        assert (gaps > 0).all()
+        # the long bucket's p=.8 target is the user's fixed anchor: take
+        # the most common long-gap successor as the anchor estimate
+        long_idx = np.nonzero(gaps >= 24 * 3600)[0]
+        if len(long_idx) >= 3:
+            succ = items[long_idx + 1]
+            top = np.bincount(succ).argmax()
+            anchor_hits += int((succ == top).sum())
+            long_total += len(succ)
+        for i, gap in enumerate(gaps):
+            if gap < 600:
+                short += 1
+                short_total += 1
+                same_cat += int(cats[i + 1] == cats[i])
+            elif gap < 24 * 3600:
+                medium += 1
+                med_pairs.append((cats[i], cats[i + 1]))
+            else:
+                long_ += 1
+    total = short + medium + long_
+    # bucket rates ~ .5/.3/.2 (long-bucket anchor returns keep their bucket)
+    assert abs(short / total - 0.5) < 0.05
+    assert abs(medium / total - 0.3) < 0.05
+    assert abs(long_ / total - 0.2) < 0.05
+    # short gaps continue the session's category (repeats of `recent`
+    # items can cross a category boundary, so not 100%; measured 0.87)
+    assert same_cat / short_total > 0.8
+    # medium gaps hop via a global derangement: deterministic per source
+    # category, never the identity
+    med_pairs = np.asarray(med_pairs)
+    for c in np.unique(med_pairs[:, 0]):
+        nxt = med_pairs[med_pairs[:, 0] == c, 1]
+        # anchor returns can land mid-session, so allow a small minority
+        # of off-map pairs; the dominant mapping must be a non-identity
+        top = np.bincount(nxt).argmax()
+        assert top != c
+        assert (nxt == top).mean() > 0.9
+    # long gaps return to the per-user anchor ~80% of the time
+    assert anchor_hits / long_total > 0.6
+    # deterministic for a fixed seed
+    assert df.equals(load_synthetic_timed(cfg))
+
+
+def test_synthetic_timed_single_category_terminates():
+    """cats=1 has no derangement; the generator must degrade to the
+    identity hop instead of spinning forever (VERDICT.md r2 weak-2)."""
+    from mtamrecommender_tpu.data.ingest import load_synthetic_timed
+    cfg = DataConfig(dataset="synthetic_timed", synth_users=5,
+                     synth_items=10, synth_categories=1,
+                     synth_events_per_user=8)
+    df = load_synthetic_timed(cfg)
+    assert len(df) >= 5 * 6 and (df.cat_id == 0).all()

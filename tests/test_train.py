@@ -233,6 +233,61 @@ def test_load_type_with_cursor(synth_data, tmp_path):
     assert got is None  # from_scratch never resumes a cursor
 
 
+def test_legacy_checkpoint_restore(synth_data, tmp_path):
+    """Checkpoints written by the pre-Composite code (plain StandardSave,
+    stored under Orbax's 'default' item) must still restore instead of
+    raising ValueError (ADVICE.md round-1 finding 1)."""
+    import orbax.checkpoint as ocp
+    train, _ = synth_data
+    cfg = _tiny_cfg("bpr")
+    model = get_model("bpr")
+    params = model.init(jax.random.PRNGKey(0), cfg.model, train.meta)
+    opt = make_optimizer(cfg.train)
+    state = TrainState(params=params, opt_state=opt.init(params), step=9)
+    legacy_dir = str(tmp_path / "legacy")
+    # write exactly what the previous Checkpointer.save wrote
+    mgr = ocp.CheckpointManager(
+        legacy_dir, options=ocp.CheckpointManagerOptions(create=True))
+    mgr.save(9, args=ocp.args.StandardSave(
+        {"params": state.params, "opt_state": state.opt_state}))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    template = TrainState(params=jax.tree.map(jnp.zeros_like, params),
+                          opt_state=opt.init(params), step=0)
+    ckpt = Checkpointer(legacy_dir)
+    restored, cursor = ckpt.restore(template, with_cursor=True)
+    ckpt.close()
+    assert restored.step == 9 and cursor is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(params)[0]))
+    # and through the cli's apply_load_type path
+    cfg_full = cfg.train.__class__(**{**cfg.train.__dict__,
+                                      "load_type": "full"})
+    out, got = apply_load_type(cfg_full, template, legacy_dir,
+                               with_cursor=True)
+    assert out.step == 9 and got is None
+
+
+def test_fit_noop_when_resumed_past_max_steps(synth_data, tmp_path):
+    """Resuming fit() with state.step >= max_steps must run ZERO optimizer
+    steps (ADVICE.md round-1 finding 2: the superstep chunk clamp used to
+    execute one extra step)."""
+    train, test = synth_data
+    cfg = _tiny_cfg("Gru4Rec")
+    trainer = Trainer(cfg=cfg, model=get_model("Gru4Rec"),
+                      train_data=train, test_data=test,
+                      run_dir=str(tmp_path / "run"))
+    state = trainer.fit(max_epochs=1, max_steps=4)
+    assert state.step == 4
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(state.params)]
+    state = trainer.fit(state, max_epochs=1, max_steps=4)  # fleet retry
+    assert state.step == 4
+    for a, b in zip(before, jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_auc_metric():
     import jax
     from mtamrecommender_tpu.train.evaluate import auc
