@@ -1,0 +1,33 @@
+#!/bin/bash
+# Watchdogged per-model matrix runner: one TPU process at a time, each
+# model under `timeout` with retries (CLAUDE.md environment rules — a
+# wedged remote compile must not take the whole matrix down).  Shards are
+# merged afterwards with benchmarks/merge_results.py.
+#
+# Usage: bash benchmarks/run_matrix.sh <dataset> <tag> <steps> [models...]
+set -u
+cd "$(dirname "$0")/.."
+DATASET=${1:?dataset}; TAG=${2:?tag}; STEPS=${3:?steps}; shift 3
+MODELS=("$@")
+if [ ${#MODELS[@]} -eq 0 ]; then
+  MODELS=(MTAM MTAM_no_time_aware_att MTAM_no_time_aware_rnn T_GRU
+          Gru4Rec SASrec Ti_Self_Attention_Model NARM STAMP)
+fi
+FLOORS=""   # TopPop/P-Pop floors computed with the first model only
+for M in "${MODELS[@]}"; do
+  OUT=benchmarks/results/baseline_${TAG}_${M}.json
+  if [ -s "$OUT" ]; then echo "skip $M (shard exists)"; FLOORS="--skip_floors"; continue; fi
+  ok=0
+  for attempt in 1 2 3; do
+    echo "=== $M attempt $attempt $(date -u +%H:%M:%S)"
+    timeout 1500 python benchmarks/run_baseline.py --models "$M" \
+      --dataset "$DATASET" --steps "$STEPS" --tag "${TAG}_${M}" \
+      --bf16 --use_pallas --eval_freq 4000 --steps_per_call 100 $FLOORS \
+      && { ok=1; break; }
+    echo "retry $M (rc=$?)"
+    sleep 5
+  done
+  [ $ok -eq 0 ] && echo "FAILED $M after 3 attempts"
+  FLOORS="--skip_floors"
+done
+echo MATRIX_DONE
