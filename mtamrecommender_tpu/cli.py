@@ -51,6 +51,8 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
         over["mesh.model_axis_size"] = args.model_parallel
         over["mesh.shard_embeddings"] = True
         over["model.vocab_pad_multiple"] = max(128, args.model_parallel)
+    if args.embedding_engine:
+        over["mesh.embedding_engine"] = args.embedding_engine
     for item in args.set or []:
         key, _, raw = item.partition("=")
         over[key] = _parse_value(raw)
@@ -77,6 +79,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="model-axis size (row-sharded embedding tables)")
+    p.add_argument("--embedding_engine", default=None,
+                   choices=["gspmd", "a2a", "psum"],
+                   help="sharded-lookup engine: gspmd annotations (default)"
+                        " or an explicit shard_map exchange (a2a | psum)")
     p.add_argument("--data_root", default=None)
     p.add_argument("--run_root", default="data/runs")
     p.add_argument("--tensorboard", action="store_true")

@@ -109,6 +109,15 @@ class MeshConfig:
     data_axis_name: str = "data"
     model_axis_name: str = "model"
     shard_embeddings: bool = False    # row-shard tables over model axis
+    embedding_engine: str = "gspmd"   # how sharded-table lookups execute:
+                                      #   gspmd — sharding annotations only,
+                                      #     XLA's partitioner picks the
+                                      #     collectives;
+                                      #   a2a   — explicit all-to-all ID
+                                      #     exchange (shard_map engine,
+                                      #     parallel/embedding_shard.py);
+                                      #   psum  — explicit masked-gather +
+                                      #     psum assemble
 
 
 @dataclass(frozen=True)

@@ -55,8 +55,15 @@ def init_behavior_embedding(rng: jax.Array, meta: DatasetMeta, num_units: int,
 
 
 def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """Replicated-table lookup. The sharded engine
-    (parallel/embedding_shard.py) provides the EP equivalent."""
+    """Table lookup.  Inside a `parallel.embedding_shard.engine_scope`
+    (entered by dist_trainer while tracing a sharded step with
+    MeshConfig.embedding_engine != 'gspmd') the lookup routes through the
+    explicit shard_map engine; otherwise jnp.take, with GSPMD free to
+    partition it from the sharding annotations."""
+    from mtamrecommender_tpu.parallel import embedding_shard as es
+    engine = es.active_gather()
+    if engine is not None:
+        return engine(table, ids)
     return jnp.take(table, ids, axis=0)
 
 

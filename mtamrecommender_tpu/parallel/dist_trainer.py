@@ -17,9 +17,21 @@ import optax
 
 from mtamrecommender_tpu.config import ExperimentConfig
 from mtamrecommender_tpu.models.base import ModelDef, compute_loss
+from mtamrecommender_tpu.parallel import embedding_shard as engine_lib
 from mtamrecommender_tpu.parallel import sharding as shard_lib
 from mtamrecommender_tpu.train import evaluate as eval_lib
 from mtamrecommender_tpu.types import Batch
+
+
+def _engine_scope(mesh, cfg: ExperimentConfig):
+    """The embedding-lookup engine scope for this experiment: explicit
+    shard_map engines ('a2a'/'psum', MeshConfig.embedding_engine) route
+    the behavior-embedding table lookups; 'gspmd' leaves them to the
+    partitioner.  Entered while TRACING each sharded step below."""
+    engine = cfg.mesh.embedding_engine if cfg.mesh.shard_embeddings \
+        else "gspmd"
+    return engine_lib.engine_scope(mesh, engine, cfg.mesh.model_axis_name,
+                                   cfg.mesh.data_axis_name)
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -52,7 +64,9 @@ def make_sharded_train_step(model: ModelDef, cfg: ExperimentConfig,
                              valid_vocab)
             return m["loss"], m
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        with _engine_scope(mesh, cfg):   # trace-time routing
+            (_, metrics), grads = jax.value_and_grad(loss_fn,
+                                                     has_aux=True)(params)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, metrics
@@ -101,8 +115,9 @@ def make_sharded_superstep(model: ModelDef, cfg: ExperimentConfig,
                                      step_rng, valid_vocab)
                     return m["loss"], m
 
-                (_, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
+                with _engine_scope(mesh, cfg):   # trace-time routing
+                    (_, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
                 updates, new_opt = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 return (new_params, new_opt, rng), metrics
@@ -136,7 +151,9 @@ def make_sharded_eval_step(model: ModelDef, cfg: ExperimentConfig, mesh,
 
     def step(params, batch: Batch) -> Dict[str, jax.Array]:
         from mtamrecommender_tpu.models.base import scores_for_eval
-        scores = scores_for_eval(model, params, cfg.model, batch, valid_vocab)
+        with _engine_scope(mesh, cfg):   # trace-time routing
+            scores = scores_for_eval(model, params, cfg.model, batch,
+                                     valid_vocab)
         return eval_lib.topk_metrics(scores, batch.target_id, batch.valid, ks)
 
     out_shard = {f"{m}@{k}": rep for k in ks for m in ("hr", "ndcg")}

@@ -29,13 +29,16 @@ ops.embedding.pad_vocab / ModelConfig.vocab_pad_multiple.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+
+ENGINES = ("gspmd", "a2a", "psum")
 
 
 def _local_lookup(table_shard: jax.Array, ids: jax.Array,
@@ -121,3 +124,49 @@ def sharded_gather_a2a(mesh: Mesh, table: jax.Array, ids: jax.Array,
     )
     out = fn(table, flat)
     return out.reshape(*ids.shape, table.shape[1])
+
+
+# ------------------------------------------- trace-time engine routing
+
+# Active explicit-engine scope.  dist_trainer enters this WHILE TRACING a
+# sharded step so ops/embedding.gather_rows routes every table lookup
+# through the selected shard_map engine instead of jnp.take + GSPMD; the
+# choice is baked into the compiled executable (the scope only exists at
+# trace time).  A plain list, not a threading.local: tracing happens on
+# the caller's thread.
+_ACTIVE: list = []
+
+
+@contextmanager
+def engine_scope(mesh: Mesh, engine: str, model_axis: str = "model",
+                 data_axis: str = "data"):
+    """Route `ops.embedding.gather_rows` through an explicit EP engine
+    for everything traced inside the scope.  'gspmd' (or a 1-sized model
+    axis) is a no-op: lookups stay jnp.take and the partitioner chooses
+    the collectives from the sharding annotations."""
+    if engine not in ENGINES:
+        raise ValueError(f"unknown embedding_engine {engine!r}; "
+                         f"known: {ENGINES}")
+    if engine == "gspmd" or mesh.shape[model_axis] <= 1:
+        yield
+        return
+    _ACTIVE.append((mesh, engine, model_axis, data_axis))
+    try:
+        yield
+    finally:
+        _ACTIVE.pop()
+
+
+def active_gather() -> Optional[Callable[[jax.Array, jax.Array], jax.Array]]:
+    """The gather(table, ids) callable for the innermost engine_scope, or
+    None when no explicit engine is active."""
+    if not _ACTIVE:
+        return None
+    mesh, engine, model_axis, data_axis = _ACTIVE[-1]
+    fn = sharded_gather_a2a if engine == "a2a" else sharded_gather
+
+    def gather(table: jax.Array, ids: jax.Array) -> jax.Array:
+        return fn(mesh, table, ids, model_axis=model_axis,
+                  data_axis=data_axis)
+
+    return gather
