@@ -54,6 +54,15 @@ class ModelConfig:
     dropout: float = 0.5
     regulation_rate: float = 5e-5
     pistrec_type: str = "soft"        # hard|soft|short|long|hybird
+    time_gate_mode: str = "positional"  # decay-gate parameterization:
+                                      # 'positional' — the reference's
+                                      #   [Tq,Tk] position-indexed params
+                                      #   (time_aware_attention.py:295-312,
+                                      #   faithful; fixes the graph to one
+                                      #   static sequence length);
+                                      # 'scalar' — scalar gate params on
+                                      #   scalar Δt (SURVEY.md §5.7): any
+                                      #   length, blockwise/CP-shardable
     # numerics / kernel selection (TPU-native additions)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # flip to bfloat16 for MXU-heavy runs
@@ -109,6 +118,12 @@ class MeshConfig:
     data_axis_name: str = "data"
     model_axis_name: str = "model"
     shard_embeddings: bool = False    # row-shard tables over model axis
+    context_parallel: bool = False    # shard the time-aware attention's
+                                      # KEY axis over the model axis
+                                      # (blockwise online-softmax exchange,
+                                      # parallel/context_parallel.py);
+                                      # requires model.time_gate_mode
+                                      # == 'scalar' (SURVEY.md §5.7)
     embedding_engine: str = "gspmd"   # how sharded-table lookups execute:
                                       #   gspmd — sharding annotations only,
                                       #     XLA's partitioner picks the

@@ -21,7 +21,8 @@ def _init(rng, cfg, meta, kind):
         "embedding": init_behavior_embedding(ke, meta, d, vocab_pad_multiple=cfg.vocab_pad_multiple),
         "att": attention.init_attention_stack(
             ka, cfg.num_blocks, d, kind=kind,
-            t_q_len=meta.max_seq_len, t_k_len=meta.max_seq_len),
+            t_q_len=meta.max_seq_len, t_k_len=meta.max_seq_len,
+            gate_mode=cfg.time_gate_mode),
         "ln_out": layers.init_layer_norm(d),
     }
 

@@ -30,7 +30,8 @@ def _init_narm(rng, cfg, meta, *, rnn: str, att_kind: str) -> Params:
         "ln_out": layers.init_layer_norm(2 * d),
         # NARM runs exactly 1 block / 1 head (hybird_baseline_models.py:99,129,159)
         "att": attention.init_attention_stack(
-            ka, 1, d, kind=att_kind, t_q_len=1, t_k_len=meta.max_seq_len),
+            ka, 1, d, kind=att_kind, t_q_len=1, t_k_len=meta.max_seq_len,
+            gate_mode=cfg.time_gate_mode),
         "output_w": init.glorot_uniform(kw, (2 * d, d)),
     }
     if rnn == "plain":

@@ -36,7 +36,8 @@ def _init_common(rng: jax.Array, cfg: ModelConfig, meta: DatasetMeta,
     if att_kind is not None:
         params["att"] = attention.init_attention_stack(
             ka, cfg.num_blocks, d, kind=att_kind,
-            t_q_len=1, t_k_len=meta.max_seq_len)
+            t_q_len=1, t_k_len=meta.max_seq_len,
+            gate_mode=cfg.time_gate_mode)
     if concat_output:
         params["output_w"] = jax.random.uniform(
             kw, (2 * d, d), jnp.float32,

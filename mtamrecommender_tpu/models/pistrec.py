@@ -35,11 +35,12 @@ def init_pistrec(rng, cfg, meta):
         "embedding": init_behavior_embedding(ks[0], meta, d, vocab_pad_multiple=cfg.vocab_pad_multiple),
         "self_att": attention.init_attention_stack(
             ks[1], cfg.num_blocks, d, kind="time",
-            t_q_len=meta.max_seq_len, t_k_len=meta.max_seq_len),
+            t_q_len=meta.max_seq_len, t_k_len=meta.max_seq_len,
+            gate_mode=cfg.time_gate_mode),
         "rnn": time_gru.init_tseqrec(ks[2], d, d),
         "cross_att": attention.init_attention_stack(
             ks[3], cfg.num_blocks, d, kind="time", t_q_len=1,
-            t_k_len=meta.max_seq_len),
+            t_k_len=meta.max_seq_len, gate_mode=cfg.time_gate_mode),
         "switch": layers.init_dense(ks[4], 3 * d, 3),
         "ln_out": layers.init_layer_norm(d),
     }

@@ -52,17 +52,35 @@ def init_mha_block(rng: jax.Array, num_units: int, dtype=jnp.float32) -> Params:
 
 
 def init_time_mha_block(rng: jax.Array, num_units: int, t_q_len: int,
-                        t_k_len: int, dtype=jnp.float32) -> Params:
+                        t_k_len: int, dtype=jnp.float32,
+                        gate_mode: str = "positional") -> Params:
+    """Decay-gate parameters.  'positional' keeps the reference's [Tq,Tk]
+    position-indexed shape (time_aware_attention.py:295-312, faithful);
+    'scalar' reparameterizes each gate weight as a scalar on scalar Δt
+    (SURVEY.md §5.7) so the block generalizes to any sequence length and
+    tiles blockwise (Pallas / key-axis CP).  The forward math is
+    identical — jnp broadcasting covers both shapes."""
     base = init_mha_block(rng, num_units, dtype)
     ks = jax.random.split(jax.random.fold_in(rng, 7), 6)
-    shape = (t_q_len, t_k_len)
+    if gate_mode == "positional":
+        shape = (t_q_len, t_k_len)
+        ginit = lambda k: init.glorot_uniform(k, shape, dtype)  # noqa: E731
+    elif gate_mode == "scalar":
+        # the positional glorot bound at the reference's Tq=1,Tk=50 is
+        # sqrt(6/51)≈0.34; scalars keep that magnitude so the gate starts
+        # in the same (near-linear) sigmoid regime
+        ginit = lambda k: jax.random.uniform(  # noqa: E731
+            k, (), dtype, minval=-0.34, maxval=0.34)
+    else:
+        raise ValueError(f"unknown time_gate_mode {gate_mode!r}; "
+                         "known: ('positional', 'scalar')")
     base.update({
         "time_input_w": init.glorot_uniform(ks[0], (num_units, num_units), dtype),
-        "time_input_w1": init.glorot_uniform(ks[1], shape, dtype),
-        "time_input_b1": init.glorot_uniform(ks[2], shape, dtype),
-        "time_output_w1": init.glorot_uniform(ks[3], shape, dtype),
-        "time_output_w2": init.glorot_uniform(ks[4], shape, dtype),
-        "time_output_b": init.glorot_uniform(ks[5], shape, dtype),
+        "time_input_w1": ginit(ks[1]),
+        "time_input_b1": ginit(ks[2]),
+        "time_output_w1": ginit(ks[3]),
+        "time_output_w2": ginit(ks[4]),
+        "time_output_b": ginit(ks[5]),
     })
     return base
 
@@ -143,7 +161,19 @@ def time_aware_multihead_attention(params: Params, queries: jax.Array,
 
     t_queries: [B, Tq] hours; t_keys: [B, Tk] hours.
     """
-    if use_pallas and _pallas_attention_enabled():
+    from mtamrecommender_tpu.parallel import context_parallel as cp_lib
+    if cp_lib.active_cp() is not None:
+        # key-axis context parallelism (trace-time scope entered by
+        # dist_trainer when MeshConfig.context_parallel): blockwise
+        # online-softmax over key shards; requires the scalar gate
+        out = cp_lib.cp_time_attention(params, queries, keys, key_len,
+                                       t_queries, t_keys,
+                                       num_heads=num_heads)
+        return _pallas_tail(params, out, queries, query_len), None
+    if use_pallas and _pallas_attention_enabled() \
+            and getattr(params["time_input_w1"], "ndim", 2) == 2:
+        # the fused kernel tiles the positional [Tq,Tk] gate params;
+        # scalar-gate mode stays on the jnp path (broadcasting covers it)
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
             return _time_attention_pallas(params, queries, keys, key_len,
@@ -240,7 +270,8 @@ def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
 
 def init_attention_stack(rng: jax.Array, num_blocks: int, num_units: int,
                          *, kind: str = "plain", t_q_len: int = 0,
-                         t_k_len: int = 0, dtype=jnp.float32) -> List[Params]:
+                         t_k_len: int = 0, dtype=jnp.float32,
+                         gate_mode: str = "positional") -> List[Params]:
     blocks = []
     for i in range(num_blocks):
         kb = jax.random.fold_in(rng, i)
@@ -248,7 +279,7 @@ def init_attention_stack(rng: jax.Array, num_blocks: int, num_units: int,
             blocks.append(init_mha_block(kb, num_units, dtype))
         elif kind == "time":
             blocks.append(init_time_mha_block(kb, num_units, t_q_len, t_k_len,
-                                              dtype))
+                                              dtype, gate_mode))
         else:
             raise ValueError(f"unknown attention kind {kind!r}")
     return blocks

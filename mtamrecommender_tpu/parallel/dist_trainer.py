@@ -24,14 +24,30 @@ from mtamrecommender_tpu.types import Batch
 
 
 def _engine_scope(mesh, cfg: ExperimentConfig):
-    """The embedding-lookup engine scope for this experiment: explicit
-    shard_map engines ('a2a'/'psum', MeshConfig.embedding_engine) route
-    the behavior-embedding table lookups; 'gspmd' leaves them to the
-    partitioner.  Entered while TRACING each sharded step below."""
+    """The trace-time routing scopes for this experiment, entered while
+    TRACING each sharded step below:
+
+      * embedding-lookup engine ('a2a'/'psum', MeshConfig.embedding_engine)
+        routes the behavior-embedding table lookups through an explicit
+        shard_map exchange; 'gspmd' leaves them to the partitioner;
+      * key-axis context parallelism (MeshConfig.context_parallel) shards
+        the time-aware attention's key axis over the model axis
+        (parallel/context_parallel.py; scalar gate required)."""
+    from contextlib import ExitStack
+
+    from mtamrecommender_tpu.parallel import context_parallel as cp_lib
+
     engine = cfg.mesh.embedding_engine if cfg.mesh.shard_embeddings \
         else "gspmd"
-    return engine_lib.engine_scope(mesh, engine, cfg.mesh.model_axis_name,
-                                   cfg.mesh.data_axis_name)
+    stack = ExitStack()
+    stack.enter_context(
+        engine_lib.engine_scope(mesh, engine, cfg.mesh.model_axis_name,
+                                cfg.mesh.data_axis_name))
+    if cfg.mesh.context_parallel:
+        stack.enter_context(
+            cp_lib.cp_scope(mesh, cfg.mesh.model_axis_name,
+                            cfg.mesh.data_axis_name))
+    return stack
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
