@@ -47,6 +47,8 @@ NEG_FILL = -(2.0 ** 32) + 1.0   # reference mask fill (multihead_attention.py:13
 SINGLE_TILE_KEYS = 1024         # <= this: one [Tq,Tk] tile per row
 KEY_BLOCK = 512                 # > that: flash-style online-softmax blocks
 MAX_KEYS = 32768                # hard cap; longer -> jnp path
+_TILE_ROWS_FWD = 16             # batch rows per program (VMEM-capped)
+_TILE_ROWS_BWD = 8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -55,56 +57,65 @@ def _round_up(x: int, m: int) -> int:
 
 # ---------------------------------------------------------------- kernels
 
-def _attn_kernel(mode: str, scale: float,
+def _attn_kernel(mode: str, scale: float, rows: int,
                  q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref, rawk_ref,
                  w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref, klen_ref,
                  out_ref):
-    """One batch row: fused gate + masked softmax + weighted sum."""
-    q = q_ref[0]            # [TQ, d]  (f32 or bf16)
-    k = k_ref[0]            # [TK, d]
-    v = v_ref[0]            # [TK, d]
-    tk_len = klen_ref[pl.program_id(0)]
+    """One batch TILE (`rows` rows per program): fused gate + masked
+    softmax + weighted sum per row.  Multiple rows per program amortize
+    the grid-step/DMA overhead that dominated the one-row-per-program
+    form at these shapes (docs/PERFORMANCE.md: the model is
+    per-op-overhead bound, not FLOP bound)."""
+    w1 = w1_ref[:].astype(jnp.float32)
+    b1 = b1_ref[:].astype(jnp.float32)
+    wo1 = wo1_ref[:].astype(jnp.float32)
+    wo2 = wo2_ref[:].astype(jnp.float32)
+    bo = bo_ref[:].astype(jnp.float32)
+    base = pl.program_id(0) * rows   # hoisted: program_id is not
+                                     # lowerable inside the fori_loop body
 
-    # MXU consumes the input dtype (bf16-native under mixed precision);
-    # scores/softmax accumulate in f32
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    def row(r, _):
+        q = q_ref[r]            # [TQ, d]  (f32 or bf16)
+        k = k_ref[r]            # [TK, d]
+        v = v_ref[r]            # [TK, d]
+        tk_len = klen_ref[base + r]
 
-    if mode in ("time", "tisas"):
-        # log-interval computed per tile from the hour vectors — never a
-        # [Tq,Tk] parameter in HBM
-        t_q = tq_ref[0]     # [TQ, 1]
-        t_k = tk_ref[0]     # [TK, 1]
-        logdt = jnp.log1p(jnp.abs(t_q - t_k.T))          # [TQ, TK]
-    if mode == "time":
-        tqw = tqw_ref[0]    # [TQ, d]  (raw queries @ W_t)
-        rawk = rawk_ref[0]  # [TK, d]
-        time_qk = jnp.tanh(jax.lax.dot_general(
-            tqw, rawk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        decay = jnp.tanh(logdt * w1_ref[:].astype(jnp.float32)
-                         + b1_ref[:].astype(jnp.float32))
-        gate = (wo1_ref[:].astype(jnp.float32) * decay
-                + wo2_ref[:].astype(jnp.float32) * time_qk
-                + bo_ref[:].astype(jnp.float32))
-        scores = scores * jax.nn.sigmoid(gate) * scale
-    elif mode == "tisas":
-        scores = (scores + logdt) * scale
-    else:  # plain
-        scores = scores * scale
+        # MXU consumes the input dtype (bf16-native under mixed
+        # precision); scores/softmax accumulate in f32
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    tk_total = scores.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < tk_len, scores, NEG_FILL)
+        if mode in ("time", "tisas"):
+            # log-interval computed per tile from the hour vectors —
+            # never a [Tq,Tk] parameter in HBM
+            logdt = jnp.log1p(jnp.abs(tq_ref[r] - tk_ref[r].T))  # [TQ,TK]
+        if mode == "time":
+            time_qk = jnp.tanh(jax.lax.dot_general(
+                tqw_ref[r], rawk_ref[r], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            decay = jnp.tanh(logdt * w1 + b1)
+            gate = wo1 * decay + wo2 * time_qk + bo
+            scores = scores * jax.nn.sigmoid(gate) * scale
+        elif mode == "tisas":
+            scores = (scores + logdt) * scale
+        else:  # plain
+            scores = scores * scale
 
-    # row softmax (numerically stable; padded key cols carry NEG_FILL)
-    m = jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    weights = e / denom
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < tk_len, scores, NEG_FILL)
 
-    out_ref[0] = jnp.dot(weights.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        # row softmax (stable; padded key cols carry NEG_FILL)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        weights = e / denom
+
+        out_ref[r] = jnp.dot(weights.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row, 0)
 
 
 def _attn_kernel_blockwise(mode: str, scale: float, kb: int,
@@ -214,26 +225,33 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
             key_len.astype(jnp.int32))
 
     if tkp <= SINGLE_TILE_KEYS:
-        row3 = lambda t, dd: pl.BlockSpec((1, t, dd),  # noqa: E731
+        # batch-tile the grid: TB rows per program (VMEM-bounded by the
+        # three [TB,Tk,d] key-side blocks)
+        tile_b = max(1, min(_TILE_ROWS_FWD, b_sz,
+                            (4 << 20) // (4 * 3 * tkp * d)))
+        bp = _round_up(b_sz, tile_b)
+        if bp != b_sz:
+            args = tuple(_pad_seq(a, bp, 0) for a in args)
+        row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM)
         full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, mode, scale),
-            grid=(b_sz,),
+            functools.partial(_attn_kernel, mode, scale, tile_b),
+            grid=(bp // tile_b,),
             in_specs=[
                 row3(tqp, d), row3(tkp, d), row3(tkp, d),
                 row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
                 full2, full2, full2, full2, full2,
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [B] key_len
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [Bp] key_len
             ],
             out_specs=row3(tqp, d),
-            out_shape=jax.ShapeDtypeStruct((b_sz, tqp, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bp, tqp, d), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
         )(*args)
-        return out[:, :tq, :]
+        return out[:b_sz, :tq, :]
 
     # long histories: flash-style online softmax over KEY_BLOCK tiles
     kb = KEY_BLOCK
@@ -273,25 +291,27 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
     return out[:, :tq, :]
 
 
-def _attn_bwd_kernel(mode: str, scale: float,
+def _attn_bwd_kernel(mode: str, scale: float, rows: int,
                      g_ref, q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref,
                      rawk_ref, w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                      klen_ref,
                      dq_ref, dk_ref, dv_ref, dtqw_ref, drawk_ref,
                      dw1_ref, db1_ref, dwo1_ref, dwo2_ref, dbo_ref):
-    """Fused backward for the single-tile attention middle.
+    """Fused backward for the single-tile attention middle, `rows` batch
+    rows per program (same dispatch amortization as the forward).
 
     Recomputes scores/softmax in VMEM from the saved inputs (flash-style
     — no [Tq,Tk] residual in HBM), then backpropagates through the
     weighted sum, softmax, decay gate and score matmul in one kernel.
     Gate-parameter cotangents ([Tq,Tk] matrices) accumulate across the
-    batch grid in their VMEM-resident output blocks."""
+    batch grid in their VMEM-resident output blocks; padded rows carry a
+    zero cotangent, so they contribute nothing."""
     in_dtype = q_ref.dtype
-    g = g_ref[0].astype(jnp.float32)        # [TQ, d] cotangent of out
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    tk_len = klen_ref[pl.program_id(0)]
+    w1 = w1_ref[:].astype(jnp.float32)
+    b1 = b1_ref[:].astype(jnp.float32)
+    wo1 = wo1_ref[:].astype(jnp.float32)
+    wo2 = wo2_ref[:].astype(jnp.float32)
+    bo = bo_ref[:].astype(jnp.float32)
 
     # zero the gate-grad accumulators in EVERY mode: on hardware an
     # unwritten output block is uninitialized memory, not zeros
@@ -304,73 +324,81 @@ def _attn_bwd_kernel(mode: str, scale: float,
         dwo2_ref[...] = jnp.zeros_like(dwo2_ref)
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
-    # ---- forward recompute (same math as _attn_kernel) ----
-    s0 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    if mode in ("time", "tisas"):
-        logdt = jnp.log1p(jnp.abs(tq_ref[0] - tk_ref[0].T))
-    if mode == "time":
-        tqw = tqw_ref[0]
-        rawk = rawk_ref[0]
-        time_qk = jnp.tanh(jax.lax.dot_general(
-            tqw, rawk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        w1 = w1_ref[:].astype(jnp.float32)
-        b1 = b1_ref[:].astype(jnp.float32)
-        wo1 = wo1_ref[:].astype(jnp.float32)
-        wo2 = wo2_ref[:].astype(jnp.float32)
-        bo = bo_ref[:].astype(jnp.float32)
-        decay = jnp.tanh(logdt * w1 + b1)
-        sig = jax.nn.sigmoid(wo1 * decay + wo2 * time_qk + bo)
-        scores = s0 * sig * scale
-    elif mode == "tisas":
-        scores = (s0 + logdt) * scale
-    else:
-        scores = s0 * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < tk_len, scores, NEG_FILL)
-    m = jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    weights = e / denom                      # [TQ, TK]
+    base = pl.program_id(0) * rows   # hoisted (see _attn_kernel)
 
-    # ---- backward ----
-    dv_ref[0] = jax.lax.dot_general(
-        weights.astype(in_dtype), g.astype(in_dtype),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dwei = jax.lax.dot_general(
-        g.astype(in_dtype), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TQ, TK]
-    # softmax jvp transpose: ds = w * (dw - sum(dw*w))
-    ds = weights * (dwei - jnp.sum(dwei * weights, axis=1, keepdims=True))
-    # masked cols have weights == 0 -> ds == 0 there already
-    if mode == "time":
-        dsig = ds * s0 * scale
-        ds0 = ds * sig * scale
-        dgate = dsig * sig * (1.0 - sig)
-        ddec = dgate * wo1
-        dpre_dec = ddec * (1.0 - decay * decay)
-        dtqk = dgate * wo2
-        dpre_tqk = dtqk * (1.0 - time_qk * time_qk)
-        dw1_ref[...] += dpre_dec * logdt
-        db1_ref[...] += dpre_dec
-        dwo1_ref[...] += dgate * decay
-        dwo2_ref[...] += dgate * time_qk
-        dbo_ref[...] += dgate
-        dtqw_ref[0] = jnp.dot(dpre_tqk.astype(in_dtype), rawk,
-                              preferred_element_type=jnp.float32)
-        drawk_ref[0] = jax.lax.dot_general(
-            dpre_tqk.astype(in_dtype), tqw, (((0,), (0,)), ((), ())),
+    def row(r, _):
+        g = g_ref[r].astype(jnp.float32)        # [TQ, d] cotangent of out
+        q = q_ref[r]
+        k = k_ref[r]
+        v = v_ref[r]
+        tk_len = klen_ref[base + r]
+
+        # ---- forward recompute (same math as _attn_kernel) ----
+        s0 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if mode in ("time", "tisas"):
+            logdt = jnp.log1p(jnp.abs(tq_ref[r] - tk_ref[r].T))
+        if mode == "time":
+            tqw = tqw_ref[r]
+            rawk = rawk_ref[r]
+            time_qk = jnp.tanh(jax.lax.dot_general(
+                tqw, rawk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            decay = jnp.tanh(logdt * w1 + b1)
+            sig = jax.nn.sigmoid(wo1 * decay + wo2 * time_qk + bo)
+            scores = s0 * sig * scale
+        elif mode == "tisas":
+            scores = (s0 + logdt) * scale
+        else:
+            scores = s0 * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < tk_len, scores, NEG_FILL)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        weights = e / denom                      # [TQ, TK]
+
+        # ---- backward ----
+        dv_ref[r] = jax.lax.dot_general(
+            weights.astype(in_dtype), g.astype(in_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dwei = jax.lax.dot_general(
+            g.astype(in_dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, TK]
+        # softmax jvp transpose: ds = w * (dw - sum(dw*w))
+        ds = weights * (dwei - jnp.sum(dwei * weights, axis=1,
+                                       keepdims=True))
+        # masked cols have weights == 0 -> ds == 0 there already
+        if mode == "time":
+            dsig = ds * s0 * scale
+            ds0 = ds * sig * scale
+            dgate = dsig * sig * (1.0 - sig)
+            ddec = dgate * wo1
+            dpre_dec = ddec * (1.0 - decay * decay)
+            dtqk = dgate * wo2
+            dpre_tqk = dtqk * (1.0 - time_qk * time_qk)
+            dw1_ref[...] += dpre_dec * logdt
+            db1_ref[...] += dpre_dec
+            dwo1_ref[...] += dgate * decay
+            dwo2_ref[...] += dgate * time_qk
+            dbo_ref[...] += dgate
+            dtqw_ref[r] = jnp.dot(dpre_tqk.astype(in_dtype), rawk,
+                                  preferred_element_type=jnp.float32)
+            drawk_ref[r] = jax.lax.dot_general(
+                dpre_tqk.astype(in_dtype), tqw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            ds0 = ds * scale
+            dtqw_ref[r] = jnp.zeros_like(dtqw_ref[r])
+            drawk_ref[r] = jnp.zeros_like(drawk_ref[r])
+        dq_ref[r] = jnp.dot(ds0.astype(in_dtype), k,
+                            preferred_element_type=jnp.float32)
+        dk_ref[r] = jax.lax.dot_general(
+            ds0.astype(in_dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    else:
-        ds0 = ds * scale
-        dtqw_ref[0] = jnp.zeros_like(dtqw_ref[0])
-        drawk_ref[0] = jnp.zeros_like(drawk_ref[0])
-    dq_ref[0] = jnp.dot(ds0.astype(in_dtype), k,
-                        preferred_element_type=jnp.float32)
-    dk_ref[0] = jax.lax.dot_general(
-        ds0.astype(in_dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -385,29 +413,36 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
     tkp = _round_up(tk, 128)
     scale = 1.0 / (d ** 0.5)
 
-    gp = _pad_seq(g.astype(jnp.float32), tqp, 1)
-    qp = _pad_seq(q, tqp, 1)
-    kp = _pad_seq(k, tkp, 1)
-    vp = _pad_seq(v, tkp, 1)
-    tqv = _pad_seq(t_q.astype(jnp.float32), tqp, 1)[..., None]
-    tkv = _pad_seq(t_k.astype(jnp.float32), tkp, 1)[..., None]
-    tqwp = _pad_seq(tqw, tqp, 1)
-    rawkp = _pad_seq(rawk, tkp, 1)
+    tile_b = max(1, min(_TILE_ROWS_BWD, b_sz,
+                        (4 << 20) // (4 * 3 * tkp * d)))
+    bp = _round_up(b_sz, tile_b)
+
+    def padb(x):
+        return _pad_seq(x, bp, 0)
+
+    gp = padb(_pad_seq(g.astype(jnp.float32), tqp, 1))
+    qp = padb(_pad_seq(q, tqp, 1))
+    kp = padb(_pad_seq(k, tkp, 1))
+    vp = padb(_pad_seq(v, tkp, 1))
+    tqv = padb(_pad_seq(t_q.astype(jnp.float32), tqp, 1)[..., None])
+    tkv = padb(_pad_seq(t_k.astype(jnp.float32), tkp, 1)[..., None])
+    tqwp = padb(_pad_seq(tqw, tqp, 1))
+    rawkp = padb(_pad_seq(rawk, tkp, 1))
     gate = [_pad_seq(_pad_seq(x, tqp, 0), tkp, 1)
             for x in (w1, b1, wo1, wo2, bo)]
 
-    row3 = lambda t, dd: pl.BlockSpec((1, t, dd),  # noqa: E731
+    row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
     full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shape = (
-        jax.ShapeDtypeStruct((b_sz, tqp, d), f32),   # dq
-        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # dk
-        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # dv
-        jax.ShapeDtypeStruct((b_sz, tqp, d), f32),   # dtqw
-        jax.ShapeDtypeStruct((b_sz, tkp, d), f32),   # drawk
+        jax.ShapeDtypeStruct((bp, tqp, d), f32),     # dq
+        jax.ShapeDtypeStruct((bp, tkp, d), f32),     # dk
+        jax.ShapeDtypeStruct((bp, tkp, d), f32),     # dv
+        jax.ShapeDtypeStruct((bp, tqp, d), f32),     # dtqw
+        jax.ShapeDtypeStruct((bp, tkp, d), f32),     # drawk
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # dw1
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # db1
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # dwo1
@@ -415,8 +450,8 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # dbo
     )
     res = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, mode, scale),
-        grid=(b_sz,),
+        functools.partial(_attn_bwd_kernel, mode, scale, tile_b),
+        grid=(bp // tile_b,),
         in_specs=[
             row3(tqp, d), row3(tqp, d), row3(tkp, d), row3(tkp, d),
             row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
@@ -434,9 +469,9 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
         ),
         interpret=jax.default_backend() != "tpu",
     )(gp, qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
-      key_len.astype(jnp.int32))
+      _pad_seq(key_len.astype(jnp.int32), bp, 0))
     dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = res
-    cut = lambda x, t: x[:, :t, :]  # noqa: E731
+    cut = lambda x, t: x[:b_sz, :t, :]  # noqa: E731
     return (cut(dq, tq), cut(dk, tk), cut(dv, tk), cut(dtqw, tq),
             cut(drawk, tk),
             dw1[: w1.shape[0], : w1.shape[1]],

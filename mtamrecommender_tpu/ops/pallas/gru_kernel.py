@@ -39,14 +39,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 # batch rows per grid program.  [TB, u] x [u, 2u] state matmuls use TB of
-# the MXU's 128 rows, so bigger tiles would raise MXU row utilization —
-# but VMEM bounds them: the BACKWARD kernel carries ~10 [L, TB, *] blocks
-# and already sits near the 16 MB scoped-VMEM limit at TB=32 (TB=64
-# fails to compile: 29.75M > 16M scoped vmem, v5e), while the forward
-# holds ~7 blocks and fits TB=64.  Streaming the bwd's time axis would
-# lift its ceiling; until then the tiles differ.
+# the MXU's 128 rows, so bigger tiles raise MXU row utilization — VMEM
+# bounds them.  The forward holds ~7 whole-sequence [L, TB, *] blocks and
+# fits TB=64.  The backward STREAMS the time axis in _TIME_CHUNK-step
+# blocks (2-D grid: batch tiles x reversed time chunks, carried cotangent
+# in persistent scratch), so its VMEM footprint is O(TC*TB) instead of
+# O(L*TB) and the full 128 MXU rows fit (the round-1 whole-sequence form
+# was stuck at TB=32; TB=64 exceeded the 16 MB scoped-VMEM limit on v5e).
 _TILE_B_FWD = 64
-_TILE_B_BWD = 32
+_TILE_B_BWD = 128
+_TIME_CHUNK = 8
 
 
 def _gru_scan_kernel(mode: str, seq_len: int, units: int,
@@ -140,23 +142,29 @@ def gru_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
     return jnp.transpose(out[:, :b_sz, :], (1, 0, 2))
 
 
-def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
+def _gru_scan_bwd_kernel(mode: str, n_time_chunks: int, time_chunk: int,
+                         units: int,
                          g_ref, out_ref_in, gx_ref, cx_ref, e1_ref, e2_ref,
-                         len_ref, h0_ref, wgh_ref, wch_ref, bg_ref, bc_ref,
+                         len_ref, hb_ref, wgh_ref, wch_ref, bg_ref, bc_ref,
                          vec_ref,
                          dgx_ref, dcx_ref, de1_ref, de2_ref, dh0_ref,
-                         dwgh_ref, dwch_ref, dbg_ref, dbc_ref, dvec_ref):
-    """Fused reverse-time backward for the whole-sequence GRU scan.
+                         dwgh_ref, dwch_ref, dbg_ref, dbc_ref, dvec_ref,
+                         dh_scr):
+    """Fused reverse-time backward, time axis STREAMED in chunks.
 
-    One kernel walks t = L-1..0 for a tile of batch rows: the carried
-    cotangent dh lives in VMEM, gates/candidates are RECOMPUTED from the
-    saved forward outputs (h_{t-1} = out[t-1], h_{-1} = h0 — valid because
-    `alive` is a prefix), and the weight cotangents accumulate in the
-    VMEM-resident output blocks across both time and batch-tile grid
-    steps.  This replaces the jnp backward's two extra 50-iteration
+    Grid = (batch tiles, reversed time chunks): grid step (i, ct)
+    processes physical time chunk n_time_chunks-1-ct of batch tile i, so
+    each tile's chunks run consecutively and the carried cotangent dh
+    lives in a persistent VMEM scratch across them.  Gates/candidates are
+    RECOMPUTED from the saved forward outputs (h_{t-1} = out[t-1];
+    hb_ref holds each chunk's boundary state — out[chunk_start-1], or h0
+    for the first chunk — valid because `alive` is a prefix).  Weight
+    cotangents accumulate in VMEM-resident output blocks across the whole
+    grid.  This replaces the jnp backward's two extra 50-iteration
     lax.scans (forward replay inside jax.vjp + the reverse scan), which
     profiling showed were pure per-op overhead (~0.5us x ~48 ops x L per
-    step)."""
+    step); streaming keeps VMEM at O(TC*TB) so TB reaches the MXU's full
+    128 rows."""
     in_dtype = gx_ref.dtype
     wgh = wgh_ref[:]
     wch = wch_ref[:]
@@ -164,8 +172,11 @@ def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
     bc = bc_ref[:].astype(jnp.float32)
     vec = vec_ref[:].astype(jnp.float32)
     lengths = len_ref[:]      # [TB, 1] int32
+    ct = pl.program_id(1)
+    phys_chunk = n_time_chunks - 1 - ct
+    t_base = phys_chunk * time_chunk
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((pl.program_id(0) == 0) & (ct == 0))
     def _init_weight_grads():
         dwgh_ref[:] = jnp.zeros_like(dwgh_ref)
         dwch_ref[:] = jnp.zeros_like(dwch_ref)
@@ -173,9 +184,13 @@ def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
         dbc_ref[:] = jnp.zeros_like(dbc_ref)
         dvec_ref[:] = jnp.zeros_like(dvec_ref)
 
+    @pl.when(ct == 0)
+    def _reset_carry():   # new batch tile: cotangent chain restarts
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
     def step(i, dh):
-        t = seq_len - 1 - i
-        h_prev = jnp.where(t == 0, h0_ref[:].astype(jnp.float32),
+        t = time_chunk - 1 - i              # local index within the chunk
+        h_prev = jnp.where(t == 0, hb_ref[0].astype(jnp.float32),
                            out_ref_in[jnp.maximum(t - 1, 0)]
                            .astype(jnp.float32))
         gx = gx_ref[t].astype(jnp.float32)
@@ -190,7 +205,7 @@ def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
         cand = jnp.tanh(
             cx + jnp.dot(rh.astype(in_dtype), wch,
                          preferred_element_type=jnp.float32) + bc)
-        alive = t < lengths                     # [TB,1]
+        alive = t_base + t < lengths            # [TB,1], GLOBAL time
         d_new = jnp.where(alive, g_ref[t].astype(jnp.float32) + dh, 0.0)
         # --- cell-mode head ---
         if mode == "plain":
@@ -255,41 +270,57 @@ def _gru_scan_bwd_kernel(mode: str, seq_len: int, units: int,
         # dead steps: cotangent passes straight through (h_next == h)
         return jnp.where(alive, dh_next, dh)
 
-    dh0 = jax.lax.fori_loop(0, seq_len, step,
-                            jnp.zeros_like(h0_ref[:], jnp.float32))
-    dh0_ref[:] = dh0
+    dh_scr[:] = jax.lax.fori_loop(0, time_chunk, step, dh_scr[:])
+
+    @pl.when(ct == n_time_chunks - 1)
+    def _emit_dh0():   # chunk covering t=0 finished: dh is dL/dh0
+        dh0_ref[:] = dh_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
 def gru_scan_bwd(mode: str, g, outs, gate_x, cand_x, e1, e2, lengths, h0,
                  w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs):
     """Pallas backward: returns cotangents for (gate_x, cand_x, e1, e2,
-    h0, w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs), all f32."""
+    h0, w_gate_h, w_cand_h, b_gate, b_cand, cell_vecs), all f32.
+
+    Time is streamed in _TIME_CHUNK-step blocks over a 2-D grid (batch
+    tiles x reversed time chunks); padded time steps are dead (alive
+    masks on GLOBAL time), padded g rows are zero, so cotangents pass
+    through them untouched."""
     b_sz, seq_len, u2 = gate_x.shape
     units = u2 // 2
     tile_b = min(_round_up(b_sz, 8), _TILE_B_BWD)
     bp = _round_up(b_sz, tile_b)
     n_tiles = bp // tile_b
+    tc = min(_TIME_CHUNK, seq_len)
+    lp = _round_up(seq_len, tc)
+    n_tc = lp // tc
 
-    def prep(x):
+    def prep(x):   # [B,L,f] -> time-major [Lp,Bp,f], zero-padded
         x = jnp.transpose(x, (1, 0, 2))
-        return jnp.pad(x, ((0, 0), (0, bp - b_sz), (0, 0)))
+        return jnp.pad(x, ((0, lp - seq_len), (0, bp - b_sz), (0, 0)))
 
     gp, op = prep(g), prep(outs)
     gx, cx, e1p, e2p = prep(gate_x), prep(cand_x), prep(e1), prep(e2)
     lens = jnp.pad(lengths.astype(jnp.int32), (0, bp - b_sz))[:, None]
     h0p = jnp.pad(h0, ((0, bp - b_sz), (0, 0)))
+    # per-chunk boundary state: h before the chunk's first step —
+    # out[ct*tc - 1] for ct > 0, h0 for the first chunk
+    chunk_ends = op[tc - 1::tc]                    # [n_tc, Bp, u]
+    hb = jnp.concatenate([h0p[None].astype(op.dtype), chunk_ends[:-1]],
+                         axis=0)                   # [n_tc, Bp, u]
 
-    tm = lambda f: pl.BlockSpec((seq_len, tile_b, f), lambda i: (0, i, 0),  # noqa: E731
-                                memory_space=pltpu.VMEM)
-    w = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),  # noqa: E731
+    tm = lambda f: pl.BlockSpec(  # noqa: E731
+        (tc, tile_b, f), lambda i, ct: (n_tc - 1 - ct, i, 0),
+        memory_space=pltpu.VMEM)
+    w = lambda r, c: pl.BlockSpec((r, c), lambda i, ct: (0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs_shape = (
-        jax.ShapeDtypeStruct((seq_len, bp, 2 * units), f32),   # dgx
-        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # dcx
-        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # de1
-        jax.ShapeDtypeStruct((seq_len, bp, units), f32),       # de2
+        jax.ShapeDtypeStruct((lp, bp, 2 * units), f32),        # dgx
+        jax.ShapeDtypeStruct((lp, bp, units), f32),            # dcx
+        jax.ShapeDtypeStruct((lp, bp, units), f32),            # de1
+        jax.ShapeDtypeStruct((lp, bp, units), f32),            # de2
         jax.ShapeDtypeStruct((bp, units), f32),                # dh0
         jax.ShapeDtypeStruct((units, 2 * units), f32),         # dwgh
         jax.ShapeDtypeStruct((units, units), f32),             # dwch
@@ -298,38 +329,40 @@ def gru_scan_bwd(mode: str, g, outs, gate_x, cand_x, e1, e2, lengths, h0,
         jax.ShapeDtypeStruct((4, units), f32),                 # dvec
     )
     res = pl.pallas_call(
-        functools.partial(_gru_scan_bwd_kernel, mode, seq_len, units),
-        grid=(n_tiles,),
+        functools.partial(_gru_scan_bwd_kernel, mode, n_tc, tc, units),
+        grid=(n_tiles, n_tc),
         in_specs=[
             tm(units), tm(units), tm(2 * units), tm(units), tm(units),
             tm(units),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, 1), lambda i, ct: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, units), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_b, units),
+                         lambda i, ct: (n_tc - 1 - ct, i, 0),
                          memory_space=pltpu.VMEM),
             w(units, 2 * units), w(units, units), w(1, 2 * units),
             w(1, units), w(4, units),
         ],
         out_specs=(
             tm(2 * units), tm(units), tm(units), tm(units),
-            pl.BlockSpec((tile_b, units), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, units), lambda i, ct: (i, 0),
                          memory_space=pltpu.VMEM),
             w(units, 2 * units), w(units, units), w(1, 2 * units),
             w(1, units), w(4, units),
         ),
         out_shape=outs_shape,
+        scratch_shapes=[pltpu.VMEM((tile_b, units), f32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * bp * seq_len * units * 3 * units,
             bytes_accessed=4 * bp * seq_len * 10 * units,
             transcendentals=bp * seq_len * 3 * units,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(gp, op, gx, cx, e1p, e2p, lens, h0p,
+    )(gp, op, gx, cx, e1p, e2p, lens, hb,
       w_gate_h, w_cand_h, b_gate[None, :], b_cand[None, :], cell_vecs)
     dgx, dcx, de1, de2, dh0, dwgh, dwch, dbg, dbc, dvec = res
 
-    def unprep(x):  # [L,Bp,f] -> [B,L,f]
-        return jnp.transpose(x[:, :b_sz, :], (1, 0, 2))
+    def unprep(x):  # [Lp,Bp,f] -> [B,L,f]
+        return jnp.transpose(x[:seq_len, :b_sz, :], (1, 0, 2))
 
     return (unprep(dgx), unprep(dcx), unprep(de1), unprep(de2),
             dh0[:b_sz], dwgh, dwch, dbg[0], dbc[0], dvec)
