@@ -47,7 +47,15 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libfastprep.so")
 
-_CAUSALITY_CODES = {"unidirection": 0, "time_window": 1}
+# 'random' maps to the unidirection window: for the dense behavior mask
+# list ([1..L-1], masking.mask_index_list_behavior) the reference's
+# random cut is randint(index, index) == index — provably identical to
+# 'unidirection' (mask_data_process.py:161-169: start = previous mask
+# index = index-1, so the randint range collapses).  Its only reference
+# side effect is consuming one value from the global Python random
+# stream per example, which nothing in this framework shares.  Pinned by
+# tests/test_fastprep.py::test_random_causality_native_parity.
+_CAUSALITY_CODES = {"unidirection": 0, "time_window": 1, "random": 0}
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -116,12 +124,11 @@ def build_packed(origin_data: pd.DataFrame, cfg: DataConfig
 
     Returns ``(train, test, meta)`` PackedDatasets.  Raises RuntimeError
     when the native path cannot serve this config (missing toolchain or
-    ``causality='random'``) so callers fall back to the Python builder.
+    an unknown causality mode) so callers fall back to the Python builder.
     """
     if cfg.causality not in _CAUSALITY_CODES:
         raise RuntimeError(
-            f"fastprep does not support causality={cfg.causality!r} "
-            "(the random-window mode consumes the Python random stream); "
+            f"fastprep does not support causality={cfg.causality!r}; "
             "use the Python builder")
     lib = _load()
     if lib is None:

@@ -62,7 +62,52 @@ def test_fastprep_user_count_limit():
     assert fast_users == py_users
 
 
-def test_fastprep_rejects_random_causality():
-    cfg = DataConfig(dataset="synthetic", causality="random")
-    with pytest.raises(RuntimeError):
+def test_fastprep_rejects_unknown_causality():
+    cfg = DataConfig(dataset="synthetic", causality="bogus")
+    with pytest.raises(RuntimeError, match="does not support causality"):
         fastprep.build_packed(load_synthetic(cfg), cfg)
+
+
+def test_random_causality_degenerates_to_unidirection():
+    """For the dense behavior mask list the reference's 'random' window
+    is randint(index, index) == index (mask_data_process.py:161-169), so
+    select_window('random') must equal select_window('unidirection') at
+    every index — the degeneracy fastprep relies on."""
+    import random as pyrandom
+
+    from mtamrecommender_tpu.data import masking
+
+    stamps = list(range(0, 4000, 100))
+    mask_indices = masking.mask_index_list_behavior(len(stamps))
+    rng = pyrandom.Random(7)
+    for index in mask_indices:
+        uni = masking.select_window("unidirection", index, stamps,
+                                    mask_indices, length_limit=8)
+        rnd = masking.select_window("random", index, stamps, mask_indices,
+                                    length_limit=8, py_random=rng)
+        assert uni == rnd, index
+
+
+def test_random_causality_native_parity():
+    """causality='random' now runs on the native builder and must emit
+    the same packed rows as causality='unidirection' (VERDICT.md r2
+    missing-5)."""
+    from mtamrecommender_tpu.data import fastprep
+    from mtamrecommender_tpu.data.ingest import load_synthetic
+
+    if not fastprep.available():
+        pytest.skip("native toolchain unavailable")
+    cfg_u = DataConfig(dataset="synthetic", synth_users=25, synth_items=30,
+                       synth_categories=4, synth_events_per_user=10,
+                       max_seq_len=8, causality="unidirection")
+    cfg_r = DataConfig(**{**cfg_u.__dict__, "causality": "random"})
+    origin = load_synthetic(cfg_u)
+    train_u, test_u, _ = fastprep.build_packed(origin, cfg_u)
+    train_r, test_r, _ = fastprep.build_packed(origin, cfg_r)
+    import dataclasses
+    for a, b in ((train_u, train_r), (test_u, test_r)):
+        for f in dataclasses.fields(a):
+            av, bv = getattr(a, f.name), getattr(b, f.name)
+            if hasattr(av, "shape"):
+                np.testing.assert_array_equal(np.asarray(av),
+                                              np.asarray(bv))
