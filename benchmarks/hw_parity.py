@@ -39,7 +39,10 @@ import numpy as np  # noqa: E402
 
 def check_gru(jnp, jax):
     from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
-    B, L, U = 80, 10, 128  # spans fwd TB=64 and bwd TB=32 tile boundaries
+    # B spans the fwd TB=64 AND bwd TB=128 batch-tile boundaries; L=10
+    # with _TIME_CHUNK=8 spans the streamed backward's time-chunk
+    # boundary (2 chunks, padded to 16)
+    B, L, U = 160, 10, 128
     ks = jax.random.split(jax.random.PRNGKey(0), 12)
     a = lambda i, sh: (jax.random.normal(ks[i], sh) * 0.3).astype(jnp.float32)
     args = dict(gate_x=a(0, (B, L, 2 * U)), cand_x=a(1, (B, L, U)),
@@ -75,7 +78,8 @@ def check_attention(jnp, jax):
     worst_all = 0.0
     for mode, tq in (("time", 5), ("time", 1), ("time", 50),
                      ("tisas", 5), ("plain", 5)):
-        B, TK, D = 8, 50, 128
+        # B=24 spans the _TILE_ROWS_FWD=16 / _TILE_ROWS_BWD=8 row tiles
+        B, TK, D = 24, 50, 128
         ks = jax.random.split(jax.random.PRNGKey(0), 13)
         a = lambda i, sh: (jax.random.normal(ks[i], sh) * 0.5).astype(jnp.float32)  # noqa: E731
         q, k, v = a(0, (B, tq, D)), a(1, (B, TK, D)), a(2, (B, TK, D))

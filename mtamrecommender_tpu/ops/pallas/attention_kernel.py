@@ -231,7 +231,10 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
                             (4 << 20) // (4 * 3 * tkp * d)))
         bp = _round_up(b_sz, tile_b)
         if bp != b_sz:
-            args = tuple(_pad_seq(a, bp, 0) for a in args)
+            # pad the per-batch operands only (NOT the [Tq,Tk] gate
+            # params at positions 7-11); padded rows carry key_len=0
+            args = tuple(a if 7 <= idx <= 11 else _pad_seq(a, bp, 0)
+                         for idx, a in enumerate(args))
         row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM)
