@@ -137,9 +137,19 @@ def multihead_attention(params: Params, queries: jax.Array, keys: jax.Array,
                         key_len: jax.Array, query_len: jax.Array, *,
                         num_heads: int, dropout_rate: float = 0.0,
                         train: bool = True,
-                        rng: Optional[jax.Array] = None
+                        rng: Optional[jax.Array] = None,
+                        use_pallas: bool = False
                         ) -> Tuple[jax.Array, jax.Array]:
     """Plain MHA (multihead_attention.py:71-193)."""
+    if use_pallas and _pallas_attention_enabled() \
+            and not (train and dropout_rate > 0.0):
+        # the fused kernel has no weight-dropout path, and plain MHA is
+        # the one variant the reference trains WITH dropout
+        # (multihead_attention.py:179) — so route eval/serving only
+        from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+        if pk.supported(keys.shape[1], num_heads):
+            return _plain_attention_pallas(params, queries, keys, key_len,
+                                           query_len)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     scores = scores / (k.shape[-1] ** 0.5)
@@ -251,6 +261,21 @@ def _time_attention_pallas(params, queries, keys, key_len, query_len,
     return _pallas_tail(params, out, queries, query_len), None
 
 
+def _plain_attention_pallas(params, queries, keys, key_len, query_len):
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    q = layers.dense(params["q"], queries, jax.nn.relu)
+    k = layers.dense(params["k"], keys, jax.nn.relu)
+    v = layers.dense(params["v"], keys, jax.nn.relu)
+    # plain mode needs no time vectors or gate params; pass zeros
+    zt_q = jnp.zeros(queries.shape[:2], q.dtype)
+    zt_k = jnp.zeros(keys.shape[:2], q.dtype)
+    zg = jnp.zeros((queries.shape[1], keys.shape[1]), q.dtype)
+    out = pk.fused_attention(
+        "plain", q, k, v, zt_q, zt_k, jnp.zeros_like(q), jnp.zeros_like(k),
+        zg, zg, zg, zg, zg, key_len).astype(queries.dtype)
+    return _pallas_tail(params, out, queries, query_len), None
+
+
 def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
                             t_queries, t_keys):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
@@ -302,7 +327,8 @@ def self_attention_stack(blocks: List[Params], enc: jax.Array,
         if kind == "plain":
             enc, att_vec = multihead_attention(
                 params, enc, enc, key_len, query_len, num_heads=num_heads,
-                dropout_rate=dropout_rate, train=train, rng=block_rng)
+                dropout_rate=dropout_rate, train=train, rng=block_rng,
+                use_pallas=use_pallas)
         elif kind == "time":
             enc, att_vec = time_aware_multihead_attention(
                 params, enc, enc, key_len, query_len, t_queries, t_keys,
@@ -334,7 +360,8 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
         if kind == "plain":
             dec, _ = multihead_attention(
                 params, dec, enc, key_len, query_len, num_heads=num_heads,
-                dropout_rate=dropout_rate, train=train, rng=block_rng)
+                dropout_rate=dropout_rate, train=train, rng=block_rng,
+                use_pallas=use_pallas)
         elif kind == "time":
             dec, _ = time_aware_multihead_attention(
                 params, dec, enc, key_len, query_len, t_queries, t_keys,

@@ -210,3 +210,28 @@ def test_blockwise_long_history_parity(mode):
     ref = pk._reference_middle(mode, q, k, v, tq, tk, tqw, rawk, *g, lens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_plain_mha_kernel_parity_eval(att_inputs):
+    """Plain MHA routes to the fused kernel when dropout is inactive
+    (SASrec's eval/serving path); training with dropout stays jnp."""
+    x, t, lengths = att_inputs
+    p = att.init_mha_block(jax.random.PRNGKey(4), x.shape[-1])
+    ref, _ = att.multihead_attention(
+        p, x, x, lengths, lengths, num_heads=1, dropout_rate=0.5,
+        train=False)
+    out, _ = att.multihead_attention(
+        p, x, x, lengths, lengths, num_heads=1, dropout_rate=0.5,
+        train=False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # dropout_rate=0 training also routes and must match the jnp path
+    rng = jax.random.PRNGKey(0)
+    ref, _ = att.multihead_attention(
+        p, x, x, lengths, lengths, num_heads=1, dropout_rate=0.0,
+        train=True, rng=rng)
+    out, _ = att.multihead_attention(
+        p, x, x, lengths, lengths, num_heads=1, dropout_rate=0.0,
+        train=True, rng=rng, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
