@@ -5,9 +5,12 @@
 # merged afterwards with benchmarks/merge_results.py.
 #
 # Usage: bash benchmarks/run_matrix.sh <dataset> <tag> <steps> [models...]
+# Env: TIMEOUT_S (default 1500), EVAL_FREQ (default 4000)
 set -u
 cd "$(dirname "$0")/.."
 DATASET=${1:?dataset}; TAG=${2:?tag}; STEPS=${3:?steps}; shift 3
+TIMEOUT_S=${TIMEOUT_S:-1500}
+EVAL_FREQ=${EVAL_FREQ:-4000}
 MODELS=("$@")
 if [ ${#MODELS[@]} -eq 0 ]; then
   MODELS=(MTAM MTAM_no_time_aware_att MTAM_no_time_aware_rnn T_GRU
@@ -20,9 +23,9 @@ for M in "${MODELS[@]}"; do
   ok=0
   for attempt in 1 2 3; do
     echo "=== $M attempt $attempt $(date -u +%H:%M:%S)"
-    timeout 1500 python benchmarks/run_baseline.py --models "$M" \
+    timeout "$TIMEOUT_S" python benchmarks/run_baseline.py --models "$M" \
       --dataset "$DATASET" --steps "$STEPS" --tag "${TAG}_${M}" \
-      --bf16 --use_pallas --eval_freq 4000 --steps_per_call 100 $FLOORS \
+      --bf16 --use_pallas --eval_freq "$EVAL_FREQ" --steps_per_call 100 $FLOORS \
       && { ok=1; break; }
     echo "retry $M (rc=$?)"
     sleep 5

@@ -181,9 +181,16 @@ def time_aware_multihead_attention(params: Params, queries: jax.Array,
                                        num_heads=num_heads)
         return _pallas_tail(params, out, queries, query_len), None
     if use_pallas and _pallas_attention_enabled() \
-            and getattr(params["time_input_w1"], "ndim", 2) == 2:
+            and getattr(params["time_input_w1"], "ndim", 2) == 2 \
+            and (queries.shape[1] > 1 or not train):
         # the fused kernel tiles the positional [Tq,Tk] gate params;
-        # scalar-gate mode stays on the jnp path (broadcasting covers it)
+        # scalar-gate mode stays on the jnp path (broadcasting covers it).
+        # Training-time SINGLE-QUERY hops (MTAM's decoder readout) also
+        # stay jnp: at Tq=1 the per-hop work is below kernel-call
+        # granularity and XLA's in-scan fusion wins — measured 241.8 ms
+        # vs 111.1 ms per 100-step superstep call with the kernel forced
+        # (benchmarks/results/steps_r3.json; docs/PERFORMANCE.md).  The
+        # kernel still serves Tq>1 training and all inference.
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
             return _time_attention_pallas(params, queries, keys, key_len,
