@@ -235,3 +235,24 @@ def test_plain_mha_kernel_parity_eval(att_inputs):
         train=True, rng=rng, use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scope_all_equals_scope_gru_on_mtam_training():
+    """Training-time single-query hops route to the jnp path regardless
+    of scope (measured: the kernel loses at Tq=1 — docs/PERFORMANCE.md),
+    so pallas_scope='all' must give the EXACT scope='gru' loss on MTAM."""
+    meta = make_meta(item_count=50, max_seq_len=10)
+    batch = make_batch(meta, batch_size=4, seed=0)
+    rng = jax.random.PRNGKey(5)
+    losses = {}
+    for scope in ("gru", "all"):
+        cfg = ExperimentConfig().with_overrides(**{
+            "model.experiment_type": "MTAM", "model.num_units": 16,
+            "model.num_blocks": 2, "model.dropout": 0.0,
+            "model.use_pallas": True, "model.pallas_scope": scope}).model
+        mdef = get_model("MTAM")
+        params = mdef.init(jax.random.PRNGKey(0), cfg, meta)
+        m = base_m.compute_loss(mdef, params, cfg, batch, True, rng,
+                                meta.item_vocab)
+        losses[scope] = float(m["loss"])
+    assert losses["all"] == losses["gru"], losses
