@@ -39,7 +39,8 @@ DEFAULT_MODELS = ["MTAM", "T_SeqRec", "Gru4Rec", "SASrec",
 
 
 def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
-            train, test, cfg_base) -> dict:
+            train, test, cfg_base, run_tag: str = "",
+            resume: bool = False) -> dict:
     from mtamrecommender_tpu.models.registry import get_model
     from mtamrecommender_tpu.train.trainer import Trainer
 
@@ -50,14 +51,34 @@ def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
     if bf16:
         over["model.compute_dtype"] = "bfloat16"
     cfg = cfg_base.with_overrides(**over)
+    run_dir = f"benchmarks/results/runs/{run_tag or 'adhoc'}/{name}"
     trainer = Trainer(cfg=cfg, model=get_model(name), train_data=train,
-                      test_data=test,
-                      run_dir=f"benchmarks/results/runs/{name}")
+                      test_data=test, run_dir=run_dir)
     # fit runs the device-resident superstep path (steps_per_call from
     # cfg.train): dispatch-free training; best-so-far tracked on the
     # eval_freq cadence like the reference (train_process.py:279-288)
+    checkpointer = None
+    state = None
+    start_epoch = skip_steps = 0
+    if resume:
+        # long-protocol crash resilience: checkpoint at each eval and
+        # resume exactly (incl. best-so-far, carried in the data cursor)
+        # when a watchdog retry re-enters this run
+        from mtamrecommender_tpu.train.checkpoint import Checkpointer
+        checkpointer = Checkpointer(os.path.join(run_dir, "ckpt"))
+        state = trainer.init_state()
+        latest = checkpointer.latest_step()
+        if latest is not None:
+            state, cursor = checkpointer.restore(state, with_cursor=True)
+            if cursor is not None:
+                start_epoch, skip_steps = trainer.resume_from_cursor(
+                    cursor, state)
+            print(f"resume {name} at step {state.step} "
+                  f"(epoch {start_epoch})", flush=True)
     t_wall = time.time()
-    state = trainer.fit(max_epochs=10 ** 9, max_steps=steps)
+    state = trainer.fit(state, max_epochs=10 ** 9, max_steps=steps,
+                        checkpointer=checkpointer, start_epoch=start_epoch,
+                        skip_steps=skip_steps)
     wall = time.time() - t_wall
     m = trainer.evaluate(state)
     bs = cfg.train.train_batch_size
@@ -90,6 +111,9 @@ def main() -> int:
                     help="best-so-far eval cadence (default: end only)")
     ap.add_argument("--steps_per_call", type=int, default=100,
                     help="superstep size (1 = per-step dispatch)")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpoint at each eval and resume exactly on "
+                         "re-entry (long-protocol watchdog retries)")
     args = ap.parse_args()
 
     from mtamrecommender_tpu.config import ExperimentConfig
@@ -104,6 +128,9 @@ def main() -> int:
         "data.synth_events_per_user": args.events_per_user,
         "model.num_units": args.num_units,
         "train.eval_freq": args.eval_freq,
+        # save on the eval cadence so a watchdog retry resumes from the
+        # newest evaluated step (fit saves only when step %% save_freq == 0)
+        "train.save_freq": args.eval_freq if args.resume else 50_000,
         "train.display_freq": 500,
         "train.steps_per_call": args.steps_per_call,
     })
@@ -131,7 +158,8 @@ def main() -> int:
     for name in args.models:
         print(f"=== {name}", flush=True)
         r = run_one(name, args.steps, args.use_pallas, args.bf16,
-                    train, test, cfg_base)
+                    train, test, cfg_base, run_tag=args.tag,
+                    resume=args.resume)
         print(json.dumps(r), flush=True)
         results["models"].append(r)
         out = os.path.join("benchmarks", "results",

@@ -5,12 +5,16 @@
 # merged afterwards with benchmarks/merge_results.py.
 #
 # Usage: bash benchmarks/run_matrix.sh <dataset> <tag> <steps> [models...]
-# Env: TIMEOUT_S (default 1500), EVAL_FREQ (default 4000)
+# Env: TIMEOUT_S (default 1500), EVAL_FREQ (default 4000),
+#      RESUME=1 (checkpoint each eval; retries resume exactly — use for
+#      long protocols where a from-scratch retry is unaffordable)
 set -u
 cd "$(dirname "$0")/.."
 DATASET=${1:?dataset}; TAG=${2:?tag}; STEPS=${3:?steps}; shift 3
 TIMEOUT_S=${TIMEOUT_S:-1500}
 EVAL_FREQ=${EVAL_FREQ:-4000}
+RESUME_FLAG=""
+[ "${RESUME:-0}" = "1" ] && RESUME_FLAG="--resume"
 MODELS=("$@")
 if [ ${#MODELS[@]} -eq 0 ]; then
   MODELS=(MTAM MTAM_no_time_aware_att MTAM_no_time_aware_rnn T_GRU
@@ -25,7 +29,8 @@ for M in "${MODELS[@]}"; do
     echo "=== $M attempt $attempt $(date -u +%H:%M:%S)"
     timeout "$TIMEOUT_S" python benchmarks/run_baseline.py --models "$M" \
       --dataset "$DATASET" --steps "$STEPS" --tag "${TAG}_${M}" \
-      --bf16 --use_pallas --eval_freq "$EVAL_FREQ" --steps_per_call 100 $FLOORS \
+      --bf16 --use_pallas --eval_freq "$EVAL_FREQ" --steps_per_call 100 \
+      $RESUME_FLAG $FLOORS \
       && { ok=1; break; }
     echo "retry $M (rc=$?)"
     sleep 5

@@ -200,6 +200,65 @@ def make_superstep(model: ModelDef, cfg: ExperimentConfig,
     return build
 
 
+def make_dynamic_superstep(model: ModelDef, cfg: ExperimentConfig,
+                           optimizer: optax.GradientTransformation,
+                           valid_vocab: int, batch_size: int, max_sub: int):
+    """One executable for EVERY chunk size 1..max_sub: `lax.fori_loop`
+    with a *traced* trip count instead of per-size `lax.scan`.
+
+    The epoch/eval/max_steps boundaries make `Trainer._chunk_size` emit
+    remainder chunks (897-step epochs at steps_per_call=100 produce 97;
+    eval boundaries off-phase with epochs produce dozens of distinct
+    sizes over a long run), and on this backend every distinct scan
+    length is a fresh multi-second remote compile.  A dynamic trip count
+    keeps the compile count at exactly one.
+
+    Trajectory-identical to `make_superstep(...)(n)` for the first n
+    steps (same rng-split chain, same gathers); per-step metrics come
+    back in fixed [max_sub] buffers of which only [:n_sub] are written —
+    callers must slice.  Uninitialized tail entries are zero-filled.
+    """
+    from mtamrecommender_tpu.data.device_data import gather_batch
+
+    @jax.jit
+    def superstep(params, opt_state, data, order, start_step, n_sub, rng):
+        probe_batch = gather_batch(data, order, start_step, batch_size)
+        metric_shapes = jax.eval_shape(
+            lambda p: compute_loss(model, p, cfg.model, probe_batch, True,
+                                   jax.random.PRNGKey(0), valid_vocab),
+            params)
+        bufs0 = jax.tree.map(
+            lambda s: jnp.zeros((max_sub,) + s.shape, s.dtype),
+            metric_shapes)
+
+        def body(k, carry):
+            params, opt_state, rng, bufs = carry
+            keys = jax.random.split(rng)
+            step_rng, rng = keys[0], keys[1]
+            batch = gather_batch(data, order, start_step + k, batch_size)
+
+            def loss_fn(p):
+                m = compute_loss(model, p, cfg.model, batch, True,
+                                 step_rng, valid_vocab)
+                return m["loss"], m
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+            new_params = optax.apply_updates(params, updates)
+            bufs = jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, k, 0),
+                bufs, metrics)
+            return (new_params, new_opt_state, rng, bufs)
+
+        params, opt_state, rng, bufs = jax.lax.fori_loop(
+            0, n_sub, body, (params, opt_state, rng, bufs0))
+        return params, opt_state, bufs, rng
+
+    return superstep
+
+
 # ------------------------------------------------------------ orchestration
 
 @dataclass
@@ -249,11 +308,19 @@ class Trainer:
                 self.cfg.train.train_batch_size)
         else:
             self.device_train_step = None
+        self._dynamic_superstep = None
         if self.cfg.train.steps_per_call > 1 and self.device_resident:
             if self.mesh is None:
                 self._superstep_factory = make_superstep(
                     self.model, self.cfg, self.optimizer, self.valid_vocab,
                     self.cfg.train.train_batch_size)
+                # single-executable variant used by fit(): boundary
+                # remainder chunks reuse the same compile (see
+                # make_dynamic_superstep docstring)
+                self._dynamic_superstep = make_dynamic_superstep(
+                    self.model, self.cfg, self.optimizer, self.valid_vocab,
+                    self.cfg.train.train_batch_size,
+                    self.cfg.train.steps_per_call)
             else:
                 # sharded superstep: K SPMD steps per jit call over the
                 # mesh-replicated device-resident dataset
@@ -280,7 +347,12 @@ class Trainer:
                 "rng": np.asarray(self.rng).astype(np.uint32).tolist(),
                 "np_keys": np.asarray(st[1]).astype(np.uint32).tolist(),
                 "np_pos": int(st[2]), "np_has_gauss": int(st[3]),
-                "np_cached": float(st[4])}
+                "np_cached": float(st[4]),
+                # best-so-far maxima travel with the cursor: models under
+                # the reference protocol peak early (steps 4k-8k), so a
+                # retry that restarted `best` from zero would silently
+                # lose the run's reported result
+                "best": {k: float(v) for k, v in self.best.items()}}
 
     def resume_from_cursor(self, cursor: Dict, state: TrainState
                            ) -> Tuple[int, int]:
@@ -291,6 +363,8 @@ class Trainer:
             ("MT19937", np.asarray(cursor["np_keys"], np.uint32),
              int(cursor["np_pos"]), int(cursor["np_has_gauss"]),
              float(cursor["np_cached"])))
+        for k, v in cursor.get("best", {}).items():   # absent pre-r3 ckpts
+            self.best[k] = max(self.best.get(k, 0.0), float(v))
         return int(cursor["epoch"]), \
             int(state.step) - int(cursor["step_at_epoch_start"])
 
@@ -447,14 +521,24 @@ class Trainer:
                     chunk = self._chunk_size(state.step, n_steps - i,
                                              max_steps)
                     if chunk > 1 or self.device_train_step is None:
-                        fn = self._superstep_cache.get(chunk)
-                        if fn is None:
-                            fn = self._superstep_factory(chunk)
-                            self._superstep_cache[chunk] = fn
-                        state.params, state.opt_state, stacked, self.rng = fn(
-                            state.params, state.opt_state, self._device_data,
-                            order, i, self.rng)
-                        host = jax.device_get(stacked)
+                        if self._dynamic_superstep is not None:
+                            state.params, state.opt_state, stacked, \
+                                self.rng = self._dynamic_superstep(
+                                    state.params, state.opt_state,
+                                    self._device_data, order, i, chunk,
+                                    self.rng)
+                            host = jax.device_get(stacked)
+                            host = {m: host[m][:chunk] for m in host}
+                        else:
+                            fn = self._superstep_cache.get(chunk)
+                            if fn is None:
+                                fn = self._superstep_factory(chunk)
+                                self._superstep_cache[chunk] = fn
+                            state.params, state.opt_state, stacked, \
+                                self.rng = fn(
+                                    state.params, state.opt_state,
+                                    self._device_data, order, i, self.rng)
+                            host = jax.device_get(stacked)
                         for k in range(chunk):
                             if on_step({m: host[m][k] for m in host},
                                        fetch_every_step=False):

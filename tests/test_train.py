@@ -409,3 +409,67 @@ def test_divergence_surfaces(synth_data, tmp_path):
                       run_dir=str(tmp_path / "run"))
     with pytest.raises(FloatingPointError):
         trainer.fit(max_epochs=3, max_steps=60)
+
+
+def test_best_so_far_survives_cursor_resume(synth_data, tmp_path):
+    """Models under the reference protocol peak early (train_process.py
+    best-so-far tracking at :279-288), so a watchdog retry of a long run
+    must not restart `best` from zero: the cursor carries the maxima and
+    resume_from_cursor restores them."""
+    train, test = synth_data
+    cfg = _tiny_cfg("Gru4Rec")
+    t_a = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                  test_data=test, run_dir=str(tmp_path / "a"))
+    t_a.best = {"hr@10": 0.61, "ndcg@10": 0.44}
+    cur = t_a._capture_cursor(epoch=1, epoch_start_step=5)
+    assert cur["best"] == {"hr@10": 0.61, "ndcg@10": 0.44}
+
+    t_b = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                  test_data=test, run_dir=str(tmp_path / "b"))
+    t_b.best = {"hr@10": 0.10, "ndcg@10": 0.50}  # resumed-side stale values
+    state = t_b.init_state()
+    t_b.resume_from_cursor(cur, state)
+    # per-key max: restored maxima never lower what the new trainer saw
+    assert t_b.best == {"hr@10": 0.61, "ndcg@10": 0.50}
+
+    # pre-r3 cursors have no "best" key: restore must not fail
+    del cur["best"]
+    t_c = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                  test_data=test, run_dir=str(tmp_path / "c"))
+    t_c.resume_from_cursor(cur, t_c.init_state())
+    assert t_c.best == {}
+
+
+def test_dynamic_superstep_matches_fixed(synth_data, tmp_path):
+    """make_dynamic_superstep (one executable, traced trip count) must be
+    trajectory-identical to make_superstep's per-size scan for every
+    chunk size — it is what fit() runs, so boundary remainder chunks
+    (e.g. 97-step epoch tails) ride the same compile as full chunks."""
+    from mtamrecommender_tpu.data import device_data as dd
+    from mtamrecommender_tpu.train.trainer import (make_dynamic_superstep,
+                                                   make_optimizer,
+                                                   make_superstep)
+
+    train, _ = synth_data
+    cfg = _tiny_cfg("Gru4Rec")
+    model = get_model("Gru4Rec")
+    params = model.init(jax.random.PRNGKey(0), cfg.model, train.meta)
+    opt = make_optimizer(cfg.train)
+    data = dd.to_device(train)
+    order = jnp.arange(len(train), dtype=jnp.int32)
+    bs, vocab = 16, train.meta.item_vocab
+
+    dyn = make_dynamic_superstep(model, cfg, opt, vocab, bs, max_sub=8)
+    for n in (8, 5, 1):
+        fixed = make_superstep(model, cfg, opt, vocab, bs)(n)
+        rng = jax.random.PRNGKey(42)
+        p_f, o_f, st_f, rng_f = fixed(params, opt.init(params), data,
+                                      order, 0, rng)
+        p_d, o_d, st_d, rng_d = dyn(params, opt.init(params), data,
+                                    order, 0, n, rng)
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_d)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(rng_f), np.asarray(rng_d))
+        for m in st_f:
+            np.testing.assert_array_equal(np.asarray(st_f[m]),
+                                          np.asarray(st_d[m])[:n])
