@@ -363,10 +363,36 @@ class Trainer:
             ("MT19937", np.asarray(cursor["np_keys"], np.uint32),
              int(cursor["np_pos"]), int(cursor["np_has_gauss"]),
              float(cursor["np_cached"])))
-        for k, v in cursor.get("best", {}).items():   # absent pre-r3 ckpts
-            self.best[k] = max(self.best.get(k, 0.0), float(v))
+        cbest = cursor.get("best", {})                # absent pre-r3 ckpts
+        if not self.best:
+            # the shipped flow: a fresh trainer restores the dict verbatim
+            self.best = {k: float(v) for k, v in cbest.items()}
+        else:
+            # merging into a non-empty tracker uses the reference's PAIRED
+            # rule (train_process.py:279-288): hr and ndcg at the same k
+            # must both improve, so no (hr, ndcg) pair is reported that
+            # never co-occurred in a single eval (ADVICE.md r3)
+            ks = {key.split("@", 1)[1] for key in cbest if key.startswith("hr@")}
+            for k in ks:
+                hr = float(cbest.get(f"hr@{k}", 0.0))
+                ndcg = float(cbest.get(f"ndcg@{k}", 0.0))
+                if (hr > self.best.get(f"hr@{k}", 0.0)
+                        and ndcg > self.best.get(f"ndcg@{k}", 0.0)):
+                    self.best[f"hr@{k}"] = hr
+                    self.best[f"ndcg@{k}"] = ndcg
         return int(cursor["epoch"]), \
             int(state.step) - int(cursor["step_at_epoch_start"])
+
+    def _cursor_for_save(self) -> Optional[Dict]:
+        """The epoch-start cursor with ONLY its best-so-far field refreshed
+        to now: evals that ran since the epoch began (intra-epoch eval
+        peaks) must travel with the checkpoint, while the rng/epoch fields
+        must stay frozen at the epoch start so resume replays the epoch
+        exactly (ADVICE.md r3)."""
+        if self._cursor is None:
+            return None
+        return {**self._cursor,
+                "best": {k: float(v) for k, v in self.best.items()}}
 
     def _chunk_size(self, step: int, steps_left: int,
                     max_steps: Optional[int]) -> int:
@@ -442,7 +468,7 @@ class Trainer:
                     self.best.get(f"hr@{k}", 0.0), k,
                     self.best.get(f"ndcg@{k}", 0.0))
             if checkpointer is not None:
-                checkpointer.save(state, cursor=self._cursor)
+                checkpointer.save(state, cursor=self._cursor_for_save())
             return state
         self.evaluate(state)  # initial eval (train_process.py:308)
         epochs = max_epochs if max_epochs is not None else cfg_t.max_epochs
@@ -493,7 +519,7 @@ class Trainer:
                 self.evaluate(state)
                 if checkpointer is not None and \
                         state.step % cfg_t.save_freq == 0:
-                    checkpointer.save(state, cursor=self._cursor)
+                    checkpointer.save(state, cursor=self._cursor_for_save())
             return max_steps is not None and state.step >= max_steps
 
         for epoch in range(start_epoch, epochs):
@@ -581,5 +607,5 @@ class Trainer:
                              k, self.best.get(f"hr@{k}", 0.0), k,
                              self.best.get(f"ndcg@{k}", 0.0))
         if checkpointer is not None:
-            checkpointer.save(state, cursor=self._cursor)
+            checkpointer.save(state, cursor=self._cursor_for_save())
         return state

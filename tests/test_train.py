@@ -424,13 +424,27 @@ def test_best_so_far_survives_cursor_resume(synth_data, tmp_path):
     cur = t_a._capture_cursor(epoch=1, epoch_start_step=5)
     assert cur["best"] == {"hr@10": 0.61, "ndcg@10": 0.44}
 
+    # the shipped flow: a FRESH trainer restores the dict verbatim
     t_b = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
                   test_data=test, run_dir=str(tmp_path / "b"))
-    t_b.best = {"hr@10": 0.10, "ndcg@10": 0.50}  # resumed-side stale values
     state = t_b.init_state()
     t_b.resume_from_cursor(cur, state)
-    # per-key max: restored maxima never lower what the new trainer saw
-    assert t_b.best == {"hr@10": 0.61, "ndcg@10": 0.50}
+    assert t_b.best == {"hr@10": 0.61, "ndcg@10": 0.44}
+
+    # merging into a non-empty tracker uses the reference's PAIRED rule
+    # (train_process.py:279-288): hr and ndcg at the same k must BOTH
+    # improve, so the merge can never report an (hr, ndcg) pair that
+    # never co-occurred in one eval (ADVICE.md r3)
+    t_b2 = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                   test_data=test, run_dir=str(tmp_path / "b2"))
+    t_b2.best = {"hr@10": 0.10, "ndcg@10": 0.50}  # hr worse, ndcg better
+    t_b2.resume_from_cursor(cur, t_b2.init_state())
+    assert t_b2.best == {"hr@10": 0.10, "ndcg@10": 0.50}  # pair kept intact
+    t_b3 = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                   test_data=test, run_dir=str(tmp_path / "b3"))
+    t_b3.best = {"hr@10": 0.10, "ndcg@10": 0.20}  # both worse -> replaced
+    t_b3.resume_from_cursor(cur, t_b3.init_state())
+    assert t_b3.best == {"hr@10": 0.61, "ndcg@10": 0.44}
 
     # pre-r3 cursors have no "best" key: restore must not fail
     del cur["best"]
@@ -438,6 +452,30 @@ def test_best_so_far_survives_cursor_resume(synth_data, tmp_path):
                   test_data=test, run_dir=str(tmp_path / "c"))
     t_c.resume_from_cursor(cur, t_c.init_state())
     assert t_c.best == {}
+
+
+def test_checkpoint_cursor_carries_intra_epoch_best(synth_data, tmp_path):
+    """_cursor_for_save refreshes ONLY the best field: evals that ran
+    since the epoch started must travel with the checkpoint (the ADVICE r3
+    medium finding — eval_freq < epoch length silently lost intra-epoch
+    peaks on resume), while the rng/epoch fields stay frozen at the epoch
+    start so the shuffle replays exactly."""
+    train, test = synth_data
+    cfg = _tiny_cfg("Gru4Rec")
+    t = Trainer(cfg=cfg, model=get_model("Gru4Rec"), train_data=train,
+                test_data=test, run_dir=str(tmp_path / "run"))
+    t.best = {"hr@10": 0.2}
+    t._cursor = t._capture_cursor(epoch=3, epoch_start_step=42)
+    assert t._cursor["best"] == {"hr@10": 0.2}
+    t.best["hr@10"] = 0.9            # an intra-epoch eval improved it
+    saved = t._cursor_for_save()
+    assert saved["best"] == {"hr@10": 0.9}
+    assert saved["epoch"] == 3 and saved["step_at_epoch_start"] == 42
+    assert saved["rng"] == t._cursor["rng"]          # epoch-start rng kept
+    assert t._cursor["best"] == {"hr@10": 0.2}       # original untouched
+
+    t._cursor = None                 # pre-first-epoch save path
+    assert t._cursor_for_save() is None
 
 
 def test_dynamic_superstep_matches_fixed(synth_data, tmp_path):
