@@ -77,7 +77,8 @@ def check_attention(jnp, jax):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as ak
     worst_all = 0.0
     for mode, tq in (("time", 5), ("time", 1), ("time", 50),
-                     ("tisas", 5), ("plain", 5)):
+                     ("tisas", 5), ("plain", 5),
+                     ("plain_drop", 50), ("tisas_drop", 50)):
         # B=24 spans the _TILE_ROWS_FWD=16 / _TILE_ROWS_BWD=8 row tiles
         B, TK, D = 24, 50, 128
         ks = jax.random.split(jax.random.PRNGKey(0), 13)
@@ -89,13 +90,20 @@ def check_attention(jnp, jax):
         gate = [a(i, (tq, TK)) for i in range(7, 12)]
         klen = jnp.asarray(np.random.RandomState(0).randint(2, TK + 1, B),
                            jnp.int32)
+        if mode.endswith("_drop"):   # pre-scaled mask: 0 or 1/keep (=2.0)
+            dm = jax.random.bernoulli(ks[12], 0.5, (B, tq, TK)
+                                      ).astype(jnp.float32) * 2.0
+        else:
+            dm = None
         diff = (q, k, v, tqw, rawk, *gate)
 
         def loss(fn, args_):
             return jnp.sum(jnp.sin(fn(
                 mode, args_[0], args_[1], args_[2], t_q, t_k, args_[3],
                 args_[4], args_[5], args_[6], args_[7], args_[8], args_[9],
-                klen)))
+                klen,
+                (ak.dm_dummy() if dm is None else dm)
+                if fn is ak.fused_attention else dm)))
         gp = jax.jit(jax.grad(lambda x: loss(ak.fused_attention, x)))(diff)
         gr = jax.jit(jax.grad(lambda x: loss(ak._reference_middle, x)))(diff)
         worst = max(float(jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(y)) + 1e-8))

@@ -141,15 +141,15 @@ def multihead_attention(params: Params, queries: jax.Array, keys: jax.Array,
                         use_pallas: bool = False
                         ) -> Tuple[jax.Array, jax.Array]:
     """Plain MHA (multihead_attention.py:71-193)."""
-    if use_pallas and _pallas_attention_enabled() \
-            and not (train and dropout_rate > 0.0):
-        # the fused kernel has no weight-dropout path, and plain MHA is
-        # the one variant the reference trains WITH dropout
-        # (multihead_attention.py:179) — so route eval/serving only
+    if use_pallas and _pallas_attention_enabled():
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
-            return _plain_attention_pallas(params, queries, keys, key_len,
-                                           query_len)
+            dm = _draw_drop_mask(rng, queries, keys, dropout_rate, train)
+            if dm is not None and not pk.dropout_supported(keys.shape[1]):
+                pass  # long-history training keeps the jnp dropout path
+            else:
+                return _plain_attention_pallas(params, queries, keys,
+                                               key_len, query_len, dm)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     scores = scores / (k.shape[-1] ** 0.5)
@@ -224,12 +224,16 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
                               ) -> Tuple[jax.Array, jax.Array]:
     """TiSAS additive variant: scores += log(|Δt|+1)
     (TiSAS_multihead_attention, time_aware_attention.py:73-214)."""
-    if use_pallas and _pallas_attention_enabled() \
-            and not (train and dropout_rate > 0.0):
+    if use_pallas and _pallas_attention_enabled():
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
         if pk.supported(keys.shape[1], num_heads):
-            return _tisas_attention_pallas(params, queries, keys, key_len,
-                                           query_len, t_queries, t_keys)
+            dm = _draw_drop_mask(rng, queries, keys, dropout_rate, train)
+            if dm is not None and not pk.dropout_supported(keys.shape[1]):
+                pass  # long-history training keeps the jnp dropout path
+            else:
+                return _tisas_attention_pallas(params, queries, keys,
+                                               key_len, query_len,
+                                               t_queries, t_keys, dm)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])
     interval = jnp.log1p(delta)
@@ -240,6 +244,22 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
 
 
 # ------------------------------------------------- pallas fused middles
+
+def _draw_drop_mask(rng: Optional[jax.Array], queries: jax.Array,
+                    keys: jax.Array, rate: float, train: bool
+                    ) -> Optional[jax.Array]:
+    """Pre-scaled attention-weight dropout mask ([B,Tq,Tk], values 0 or
+    1/keep) for the fused kernel's '*_drop' modes, or None when dropout
+    is off.  Drawn with the SAME bernoulli shape/rng the jnp path uses
+    ([B,h=1,Tq,Tk], layers.dropout), so kernel and jnp training see
+    identical mask bits."""
+    if not train or rate <= 0.0 or rng is None:
+        return None
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(
+        rng, keep, (queries.shape[0], 1, queries.shape[1], keys.shape[1]))
+    return mask[:, 0].astype(jnp.float32) / keep
+
 
 def _pallas_tail(params: Params, out: jax.Array, queries: jax.Array,
                  query_len: jax.Array) -> jax.Array:
@@ -264,11 +284,13 @@ def _time_attention_pallas(params, queries, keys, key_len, query_len,
         "time", q, k, v, t_queries, t_keys, tqw, keys,
         params["time_input_w1"], params["time_input_b1"],
         params["time_output_w1"], params["time_output_w2"],
-        params["time_output_b"], key_len).astype(queries.dtype)
+        params["time_output_b"], key_len,
+        pk.dm_dummy(q.dtype)).astype(queries.dtype)
     return _pallas_tail(params, out, queries, query_len), None
 
 
-def _plain_attention_pallas(params, queries, keys, key_len, query_len):
+def _plain_attention_pallas(params, queries, keys, key_len, query_len,
+                            drop_mask=None):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
@@ -277,24 +299,28 @@ def _plain_attention_pallas(params, queries, keys, key_len, query_len):
     zt_q = jnp.zeros(queries.shape[:2], q.dtype)
     zt_k = jnp.zeros(keys.shape[:2], q.dtype)
     zg = jnp.zeros((queries.shape[1], keys.shape[1]), q.dtype)
+    mode = "plain" if drop_mask is None else "plain_drop"
+    dm = pk.dm_dummy(q.dtype) if drop_mask is None else drop_mask
     out = pk.fused_attention(
-        "plain", q, k, v, zt_q, zt_k, jnp.zeros_like(q), jnp.zeros_like(k),
-        zg, zg, zg, zg, zg, key_len).astype(queries.dtype)
+        mode, q, k, v, zt_q, zt_k, jnp.zeros_like(q), jnp.zeros_like(k),
+        zg, zg, zg, zg, zg, key_len, dm).astype(queries.dtype)
     return _pallas_tail(params, out, queries, query_len), None
 
 
 def _tisas_attention_pallas(params, queries, keys, key_len, query_len,
-                            t_queries, t_keys):
+                            t_queries, t_keys, drop_mask=None):
     from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
     q = layers.dense(params["q"], queries, jax.nn.relu)
     k = layers.dense(params["k"], keys, jax.nn.relu)
     v = layers.dense(params["v"], keys, jax.nn.relu)
     # tisas needs no content-time kernel or gate params; pass zeros
     zg = jnp.zeros((queries.shape[1], keys.shape[1]), q.dtype)
+    mode = "tisas" if drop_mask is None else "tisas_drop"
+    dm = pk.dm_dummy(q.dtype) if drop_mask is None else drop_mask
     out = pk.fused_attention(
-        "tisas", q, k, v, t_queries, t_keys, jnp.zeros_like(q),
+        mode, q, k, v, t_queries, t_keys, jnp.zeros_like(q),
         jnp.zeros_like(k), zg, zg, zg, zg, zg,
-        key_len).astype(queries.dtype)
+        key_len, dm).astype(queries.dtype)
     return _pallas_tail(params, out, queries, query_len), None
 
 
@@ -351,6 +377,89 @@ def self_attention_stack(blocks: List[Params], enc: jax.Array,
     return enc, att_vec
 
 
+def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
+                                dec: jax.Array, key_len: jax.Array, *,
+                                kind: str, num_heads: int,
+                                dropout_rate: float, train: bool,
+                                rng: Optional[jax.Array],
+                                t_queries: Optional[jax.Array],
+                                t_keys: Optional[jax.Array]) -> jax.Array:
+    """The num_blocks Tq=1 decoder hops (MTAM's NextItemDecoder readout,
+    MTAMRec_model.py:84-91) with the memory-side work batched ACROSS hops.
+
+    Math-identical to running `multihead_attention` /
+    `time_aware_multihead_attention` per block (pinned by
+    tests/test_ops.py): the hops stay sequential only in the query chain
+    dec_0 -> dec_1 -> ..., so everything keyed off the (hop-invariant)
+    memory — the K/V projections, the content-time precursor mem @ W_t^T,
+    and the interval-decay part of the gate — is computed for ALL hops in
+    three stacked einsums up front.  What remains per hop is ~15 small
+    ops ([B,d] matvecs + softmax) instead of the ~40-op per-hop chain,
+    which matters because at these shapes the train step is
+    per-op-overhead bound, not FLOP bound (docs/PERFORMANCE.md).  The
+    dropout rng stream (plain kind; the reference trains NARM's readout
+    with weight dropout) folds per hop exactly like the unfused path, so
+    trajectories are preserved bit-for-bit modulo matmul grouping.
+    """
+    n = len(blocks)
+    b_sz, _, d = dec.shape
+    tk = enc.shape[1]
+    dh = d // num_heads
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    # ---- hop-batched memory-side precompute (the FLOPs live here) ----
+    k_all = jax.nn.relu(jnp.einsum("bld,nde->nble", enc, stacked["k"]["w"])
+                        + stacked["k"]["b"][:, None, None, :])
+    v_all = jax.nn.relu(jnp.einsum("bld,nde->nble", enc, stacked["v"]["w"])
+                        + stacked["v"]["b"][:, None, None, :])
+    k_all = k_all.reshape(n, b_sz, tk, num_heads, dh)
+    v_all = v_all.reshape(n, b_sz, tk, num_heads, dh)
+    if kind == "time":
+        # time_qk = tanh(dec @ W_t @ mem^T) on RAW dec/mem (:320-323);
+        # the mem-side contraction is hop-batched, dec-side stays per hop
+        tprec = jnp.einsum("ble,nde->nbld", enc, stacked["time_input_w"])
+        delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])  # [B,1,Tk]
+
+        def _bc(x):
+            # gate param stacked over hops -> broadcastable vs [n,B,1,Tk]:
+            # positional [n,1,Tk] -> [n,1,1,Tk]; scalar [n] -> [n,1,1,1]
+            return (x.reshape((n, 1) + x.shape[1:]) if x.ndim > 1
+                    else x.reshape(n, 1, 1, 1))
+
+        decay = jnp.tanh(jnp.log1p(delta)[None] * _bc(stacked["time_input_w1"])
+                         + _bc(stacked["time_input_b1"]))            # [n,B,1,Tk]
+        gate_part = (_bc(stacked["time_output_w1"]) * decay
+                     + _bc(stacked["time_output_b"]))                # [n,B,1,Tk]
+    kmask = layers.sequence_mask(key_len, tk)[:, None, :]
+
+    # ---- short sequential query chain ----
+    cur = dec[:, 0, :]                                               # [B, d]
+    for i in range(n):
+        q = layers.dense({"w": stacked["q"]["w"][i],
+                          "b": stacked["q"]["b"][i]}, cur, jax.nn.relu)
+        q = q.reshape(b_sz, num_heads, dh)
+        scores = jnp.einsum("bhe,blhe->bhl", q, k_all[i])            # [B,h,Tk]
+        if kind == "time":
+            tqk = jnp.tanh(jnp.einsum("bd,bld->bl", cur, tprec[i]))
+            gate = gate_part[i][:, 0, :] \
+                + stacked["time_output_w2"][i] * tqk                 # [B,Tk]
+            scores = scores * jax.nn.sigmoid(gate)[:, None, :]
+        scores = scores / (dh ** 0.5)
+        scores = jnp.where(kmask, scores, NEG_FILL)
+        weights = jax.nn.softmax(scores, axis=-1)
+        # query_len is all-ones at Tq=1 -> the _finish query mask is a no-op
+        if kind == "plain" and dropout_rate > 0.0:
+            block_rng = None if rng is None else jax.random.fold_in(rng, i)
+            # same draw shape/fold as the unfused path ([B,h,1,Tk]) so the
+            # mask bits — hence the training trajectory — are identical
+            weights = layers.dropout(block_rng, weights[:, :, None, :],
+                                     dropout_rate, train)[:, :, 0, :]
+        out = jnp.einsum("bhl,blhe->bhe", weights, v_all[i]).reshape(b_sz, d)
+        cur = layers.normalize({"gamma": stacked["ln"]["gamma"][i],
+                                "beta": stacked["ln"]["beta"][i]}, out + cur)
+    return cur
+
+
 def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
                             dec: jax.Array, key_len: jax.Array,
                             query_len: jax.Array, *, kind: str,
@@ -358,10 +467,25 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
                             rng: Optional[jax.Array] = None,
                             t_queries: Optional[jax.Array] = None,
                             t_keys: Optional[jax.Array] = None,
-                            use_pallas: bool = False) -> jax.Array:
+                            use_pallas: bool = False,
+                            fused: bool = True) -> jax.Array:
     """Decoder cross-attention hops; returns [B*Tq, d] like the
     reference's final reshape (multihead_attention.py:250,
-    time_aware_attention.py:555)."""
+    time_aware_attention.py:555).
+
+    Tq=1 stacks (the whole MTAM/NARM family) ride the hop-batched fused
+    readout unless the per-hop Pallas kernel would take them (inference
+    with use_pallas, where the fused attention kernel serves instead);
+    ``fused=False`` forces the reference-shaped per-hop loop (the parity
+    oracle for tests)."""
+    if (fused and dec.shape[1] == 1 and kind in ("plain", "time")
+            and len(blocks) > 0
+            and not (use_pallas and _pallas_attention_enabled()
+                     and not train)):
+        return _fused_single_query_readout(
+            blocks, enc, dec, key_len, kind=kind, num_heads=num_heads,
+            dropout_rate=dropout_rate, train=train, rng=rng,
+            t_queries=t_queries, t_keys=t_keys)
     for i, params in enumerate(blocks):
         block_rng = None if rng is None else jax.random.fold_in(rng, i)
         if kind == "plain":

@@ -60,12 +60,23 @@ def _round_up(x: int, m: int) -> int:
 def _attn_kernel(mode: str, scale: float, rows: int,
                  q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref, rawk_ref,
                  w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref, klen_ref,
-                 out_ref):
+                 *rest_refs):
     """One batch TILE (`rows` rows per program): fused gate + masked
     softmax + weighted sum per row.  Multiple rows per program amortize
     the grid-step/DMA overhead that dominated the one-row-per-program
     form at these shapes (docs/PERFORMANCE.md: the model is
-    per-op-overhead bound, not FLOP bound)."""
+    per-op-overhead bound, not FLOP bound).
+
+    '*_drop' modes take one extra operand before out_ref: a pre-scaled
+    dropout mask tile (values 0 or 1/keep) applied to the softmax weights
+    — the reference trains plain MHA and TiSAS WITH attention-weight
+    dropout (multihead_attention.py:179, time_aware_attention.py:198), so
+    this is what lets their training steps ride the fused kernel."""
+    if mode.endswith("_drop"):
+        dm_ref, out_ref = rest_refs
+    else:
+        dm_ref, (out_ref,) = None, rest_refs
+    base_mode = mode[:-5] if mode.endswith("_drop") else mode
     w1 = w1_ref[:].astype(jnp.float32)
     b1 = b1_ref[:].astype(jnp.float32)
     wo1 = wo1_ref[:].astype(jnp.float32)
@@ -86,18 +97,18 @@ def _attn_kernel(mode: str, scale: float, rows: int,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        if mode in ("time", "tisas"):
+        if base_mode in ("time", "tisas"):
             # log-interval computed per tile from the hour vectors —
             # never a [Tq,Tk] parameter in HBM
             logdt = jnp.log1p(jnp.abs(tq_ref[r] - tk_ref[r].T))  # [TQ,TK]
-        if mode == "time":
+        if base_mode == "time":
             time_qk = jnp.tanh(jax.lax.dot_general(
                 tqw_ref[r], rawk_ref[r], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
             decay = jnp.tanh(logdt * w1 + b1)
             gate = wo1 * decay + wo2 * time_qk + bo
             scores = scores * jax.nn.sigmoid(gate) * scale
-        elif mode == "tisas":
+        elif base_mode == "tisas":
             scores = (scores + logdt) * scale
         else:  # plain
             scores = scores * scale
@@ -110,6 +121,8 @@ def _attn_kernel(mode: str, scale: float, rows: int,
         e = jnp.exp(scores - m)
         denom = jnp.sum(e, axis=1, keepdims=True)
         weights = e / denom
+        if dm_ref is not None:
+            weights = weights * dm_ref[r].astype(jnp.float32)
 
         out_ref[r] = jnp.dot(weights.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
@@ -194,11 +207,14 @@ def _pad_seq(x: jax.Array, length: int, axis: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("mode",))
 def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
-                         w1, b1, wo1, wo2, bo, key_len):
+                         w1, b1, wo1, wo2, bo, key_len, dm):
     """q: [B,Tq,d]; k,v: [B,Tk,d]; t_q: [B,Tq]; t_k: [B,Tk];
-    tqw: [B,Tq,d]; rawk: [B,Tk,d]; gate params: [Tq,Tk]; key_len: [B]."""
+    tqw: [B,Tq,d]; rawk: [B,Tk,d]; gate params: [Tq,Tk]; key_len: [B];
+    dm: [B,Tq,Tk] pre-scaled dropout mask for '*_drop' modes (values 0 or
+    1/keep; a [1,1,1] dummy otherwise)."""
     b_sz, tq, d = q.shape
     tk = k.shape[1]
+    dropout = mode.endswith("_drop")
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     tqp = _round_up(tq, sublane)
     tkp = _round_up(tk, 128)
@@ -221,34 +237,40 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
         bytes_accessed=4 * b_sz * (2 * tqp * d + 3 * tkp * d),
         transcendentals=b_sz * tqp * tkp * 4,
     )
-    args = (qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
-            key_len.astype(jnp.int32))
+    args = [qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
+            key_len.astype(jnp.int32)]
+    if dropout:
+        args.append(_pad_seq(_pad_seq(dm, tqp, 1), tkp, 2))
 
     if tkp <= SINGLE_TILE_KEYS:
         # batch-tile the grid: TB rows per program (VMEM-bounded by the
-        # three [TB,Tk,d] key-side blocks)
+        # three [TB,Tk,d] key-side blocks + the mask tile when present)
+        per_row_f32 = 3 * tkp * d + (tqp * tkp if dropout else 0)
         tile_b = max(1, min(_TILE_ROWS_FWD, b_sz,
-                            (4 << 20) // (4 * 3 * tkp * d)))
+                            (4 << 20) // (4 * per_row_f32)))
         bp = _round_up(b_sz, tile_b)
         if bp != b_sz:
             # pad the per-batch operands only (NOT the [Tq,Tk] gate
             # params at positions 7-11); padded rows carry key_len=0
-            args = tuple(a if 7 <= idx <= 11 else _pad_seq(a, bp, 0)
-                         for idx, a in enumerate(args))
+            args = [a if 7 <= idx <= 11 else _pad_seq(a, bp, 0)
+                    for idx, a in enumerate(args)]
         row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM)
         full2 = pl.BlockSpec((tqp, tkp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+        in_specs = [
+            row3(tqp, d), row3(tkp, d), row3(tkp, d),
+            row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
+            full2, full2, full2, full2, full2,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [Bp] key_len
+        ]
+        if dropout:
+            in_specs.append(row3(tqp, tkp))
         out = pl.pallas_call(
             functools.partial(_attn_kernel, mode, scale, tile_b),
             grid=(bp // tile_b,),
-            in_specs=[
-                row3(tqp, d), row3(tkp, d), row3(tkp, d),
-                row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
-                full2, full2, full2, full2, full2,
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [Bp] key_len
-            ],
+            in_specs=in_specs,
             out_specs=row3(tqp, d),
             out_shape=jax.ShapeDtypeStruct((bp, tqp, d), jnp.float32),
             cost_estimate=cost,
@@ -256,6 +278,12 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
         )(*args)
         return out[:b_sz, :tq, :]
 
+    if dropout:
+        raise NotImplementedError(
+            "attention-weight dropout is routed only through the "
+            "single-tile kernel (training shapes have Tk <= "
+            f"{SINGLE_TILE_KEYS}); long-history training stays on the "
+            "jnp path")
     # long histories: flash-style online softmax over KEY_BLOCK tiles
     kb = KEY_BLOCK
     tkp = _round_up(tkp, kb)
@@ -297,9 +325,7 @@ def _fused_attention_fwd(mode: str, q, k, v, t_q, t_k, tqw, rawk,
 def _attn_bwd_kernel(mode: str, scale: float, rows: int,
                      g_ref, q_ref, k_ref, v_ref, tq_ref, tk_ref, tqw_ref,
                      rawk_ref, w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
-                     klen_ref,
-                     dq_ref, dk_ref, dv_ref, dtqw_ref, drawk_ref,
-                     dw1_ref, db1_ref, dwo1_ref, dwo2_ref, dbo_ref):
+                     klen_ref, *rest_refs):
     """Fused backward for the single-tile attention middle, `rows` batch
     rows per program (same dispatch amortization as the forward).
 
@@ -308,7 +334,21 @@ def _attn_bwd_kernel(mode: str, scale: float, rows: int,
     weighted sum, softmax, decay gate and score matmul in one kernel.
     Gate-parameter cotangents ([Tq,Tk] matrices) accumulate across the
     batch grid in their VMEM-resident output blocks; padded rows carry a
-    zero cotangent, so they contribute nothing."""
+    zero cotangent, so they contribute nothing.
+
+    '*_drop' modes take the forward's pre-scaled dropout mask as one
+    extra operand after klen_ref: forward out = (w . dm) @ v, so dv uses
+    the DROPPED weights and the weight cotangent re-masks before the
+    softmax transpose."""
+    if mode.endswith("_drop"):
+        dm_ref = rest_refs[0]
+        out_refs = rest_refs[1:]
+    else:
+        dm_ref = None
+        out_refs = rest_refs
+    (dq_ref, dk_ref, dv_ref, dtqw_ref, drawk_ref,
+     dw1_ref, db1_ref, dwo1_ref, dwo2_ref, dbo_ref) = out_refs
+    base_mode = mode[:-5] if mode.endswith("_drop") else mode
     in_dtype = q_ref.dtype
     w1 = w1_ref[:].astype(jnp.float32)
     b1 = b1_ref[:].astype(jnp.float32)
@@ -339,9 +379,9 @@ def _attn_bwd_kernel(mode: str, scale: float, rows: int,
         # ---- forward recompute (same math as _attn_kernel) ----
         s0 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        if mode in ("time", "tisas"):
+        if base_mode in ("time", "tisas"):
             logdt = jnp.log1p(jnp.abs(tq_ref[r] - tk_ref[r].T))
-        if mode == "time":
+        if base_mode == "time":
             tqw = tqw_ref[r]
             rawk = rawk_ref[r]
             time_qk = jnp.tanh(jax.lax.dot_general(
@@ -350,7 +390,7 @@ def _attn_bwd_kernel(mode: str, scale: float, rows: int,
             decay = jnp.tanh(logdt * w1 + b1)
             sig = jax.nn.sigmoid(wo1 * decay + wo2 * time_qk + bo)
             scores = s0 * sig * scale
-        elif mode == "tisas":
+        elif base_mode == "tisas":
             scores = (s0 + logdt) * scale
         else:
             scores = s0 * scale
@@ -360,19 +400,24 @@ def _attn_bwd_kernel(mode: str, scale: float, rows: int,
         e = jnp.exp(scores - m)
         denom = jnp.sum(e, axis=1, keepdims=True)
         weights = e / denom                      # [TQ, TK]
+        dropped = weights if dm_ref is None \
+            else weights * dm_ref[r].astype(jnp.float32)
 
         # ---- backward ----
         dv_ref[r] = jax.lax.dot_general(
-            weights.astype(in_dtype), g.astype(in_dtype),
+            dropped.astype(in_dtype), g.astype(in_dtype),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dwei = jax.lax.dot_general(
             g.astype(in_dtype), v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [TQ, TK]
+        if dm_ref is not None:
+            # cotangent of the PRE-dropout weights: re-scale by the mask
+            dwei = dwei * dm_ref[r].astype(jnp.float32)
         # softmax jvp transpose: ds = w * (dw - sum(dw*w))
         ds = weights * (dwei - jnp.sum(dwei * weights, axis=1,
                                        keepdims=True))
         # masked cols have weights == 0 -> ds == 0 there already
-        if mode == "time":
+        if base_mode == "time":
             dsig = ds * s0 * scale
             ds0 = ds * sig * scale
             dgate = dsig * sig * (1.0 - sig)
@@ -406,18 +451,20 @@ def _attn_bwd_kernel(mode: str, scale: float, rows: int,
 
 @functools.partial(jax.jit, static_argnames=("mode",))
 def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
-                         w1, b1, wo1, wo2, bo, key_len):
+                         w1, b1, wo1, wo2, bo, key_len, dm):
     """Pallas backward for the single-tile path; returns f32 cotangents
     (dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo)."""
     b_sz, tq, d = q.shape
     tk = k.shape[1]
+    dropout = mode.endswith("_drop")
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     tqp = _round_up(tq, sublane)
     tkp = _round_up(tk, 128)
     scale = 1.0 / (d ** 0.5)
 
+    per_row_f32 = 3 * tkp * d + (tqp * tkp if dropout else 0)
     tile_b = max(1, min(_TILE_ROWS_BWD, b_sz,
-                        (4 << 20) // (4 * 3 * tkp * d)))
+                        (4 << 20) // (4 * per_row_f32)))
     bp = _round_up(b_sz, tile_b)
 
     def padb(x):
@@ -452,15 +499,21 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # dwo2
         jax.ShapeDtypeStruct((tqp, tkp), f32),       # dbo
     )
+    in_specs = [
+        row3(tqp, d), row3(tqp, d), row3(tkp, d), row3(tkp, d),
+        row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
+        full2, full2, full2, full2, full2,
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [gp, qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
+            _pad_seq(key_len.astype(jnp.int32), bp, 0)]
+    if dropout:
+        in_specs.append(row3(tqp, tkp))
+        args.append(padb(_pad_seq(_pad_seq(dm, tqp, 1), tkp, 2)))
     res = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, mode, scale, tile_b),
         grid=(bp // tile_b,),
-        in_specs=[
-            row3(tqp, d), row3(tqp, d), row3(tkp, d), row3(tkp, d),
-            row3(tqp, 1), row3(tkp, 1), row3(tqp, d), row3(tkp, d),
-            full2, full2, full2, full2, full2,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(row3(tqp, d), row3(tkp, d), row3(tkp, d),
                    row3(tqp, d), row3(tkp, d),
                    full2, full2, full2, full2, full2),
@@ -471,8 +524,7 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
             transcendentals=b_sz * tqp * tkp * 4,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(gp, qp, kp, vp, tqv, tkv, tqwp, rawkp, *gate,
-      _pad_seq(key_len.astype(jnp.int32), bp, 0))
+    )(*args)
     dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = res
     cut = lambda x, t: x[:b_sz, :t, :]  # noqa: E731
     return (cut(dq, tq), cut(dk, tk), cut(dv, tk), cut(dtqw, tq),
@@ -485,56 +537,76 @@ def _fused_attention_bwd(mode: str, g, q, k, v, t_q, t_k, tqw, rawk,
 
 
 def _reference_middle(mode: str, q, k, v, t_q, t_k, tqw, rawk,
-                      w1, b1, wo1, wo2, bo, key_len):
-    """jnp twin of the kernel, used for the backward pass."""
+                      w1, b1, wo1, wo2, bo, key_len, dm=None):
+    """jnp twin of the kernel, used for the backward pass (and as the
+    oracle in tests/benchmarks — pass ``dm`` to mirror a '*_drop' mode's
+    pre-scaled mask)."""
+    base_mode = mode[:-5] if mode.endswith("_drop") else mode
     d = q.shape[-1]
     scores = jnp.einsum("bqd,bkd->bqk", q, k)
-    if mode in ("time", "tisas"):
+    if base_mode in ("time", "tisas"):
         logdt = jnp.log1p(jnp.abs(t_q[:, :, None] - t_k[:, None, :]))
-    if mode == "time":
+    if base_mode == "time":
         time_qk = jnp.tanh(jnp.einsum("bqd,bkd->bqk", tqw, rawk))
         decay = jnp.tanh(logdt * w1 + b1)
         gate = wo1 * decay + wo2 * time_qk + bo
         scores = scores * jax.nn.sigmoid(gate) / (d ** 0.5)
-    elif mode == "tisas":
+    elif base_mode == "tisas":
         scores = (scores + logdt) / (d ** 0.5)
     else:
         scores = scores / (d ** 0.5)
     col = jnp.arange(scores.shape[2])[None, None, :]
     scores = jnp.where(col < key_len[:, None, None], scores, NEG_FILL)
     weights = jax.nn.softmax(scores, axis=-1)
+    if dm is not None:
+        weights = weights * dm
     return jnp.einsum("bqk,bkd->bqd", weights, v)
+
+
+_DM_DUMMY_SHAPE = (1, 1, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_attention(mode: str, q, k, v, t_q, t_k, tqw, rawk,
-                    w1, b1, wo1, wo2, bo, key_len):
-    """Fused scores->gate->softmax->weighted-sum middle.  Returns [B,Tq,d]."""
+                    w1, b1, wo1, wo2, bo, key_len,
+                    drop_mask):
+    """Fused scores->gate->softmax->weighted-sum middle.  Returns [B,Tq,d].
+
+    drop_mask: pre-scaled attention-weight dropout mask [B,Tq,Tk] with
+    values 0 or 1/keep for the '*_drop' modes (a [1,1,1] dummy
+    otherwise).  The mask is DRAWN OUTSIDE the kernel (one bernoulli op —
+    the same draw the jnp path makes), so forward and backward see the
+    identical mask with no in-kernel PRNG state to keep in sync."""
     return _fused_attention_fwd(mode, q, k, v, t_q, t_k, tqw, rawk,
-                                w1, b1, wo1, wo2, bo, key_len)
+                                w1, b1, wo1, wo2, bo, key_len, drop_mask)
 
 
-def _fa_fwd(mode, q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len):
+def _fa_fwd(mode, q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo,
+            key_len, drop_mask):
     out = _fused_attention_fwd(mode, q, k, v, t_q, t_k, tqw, rawk,
-                               w1, b1, wo1, wo2, bo, key_len)
-    return out, (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len)
+                               w1, b1, wo1, wo2, bo, key_len, drop_mask)
+    return out, (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo,
+                 key_len, drop_mask)
 
 
 def _fa_bwd(mode, residuals, g):
-    (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len) = residuals
+    (q, k, v, t_q, t_k, tqw, rawk, w1, b1, wo1, wo2, bo, key_len,
+     drop_mask) = residuals
     tkp = _round_up(k.shape[1], 128)
     if tkp <= SINGLE_TILE_KEYS:
         # fused single-tile backward: recomputes scores/softmax in VMEM
         dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = \
             _fused_attention_bwd(mode, g, q, k, v, t_q, t_k, tqw, rawk,
-                                 w1, b1, wo1, wo2, bo, key_len)
+                                 w1, b1, wo1, wo2, bo, key_len, drop_mask)
         return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
                 jnp.zeros_like(t_q), jnp.zeros_like(t_k),
                 dtqw.astype(tqw.dtype), drawk.astype(rawk.dtype),
                 dw1.astype(w1.dtype), db1.astype(b1.dtype),
                 dwo1.astype(wo1.dtype), dwo2.astype(wo2.dtype),
-                dbo.astype(bo.dtype), jnp.zeros_like(key_len))
+                dbo.astype(bo.dtype), jnp.zeros_like(key_len),
+                jnp.zeros_like(drop_mask))
     # long-history fallback: recompute through the jnp reference middle
+    # (never a '_drop' mode — _fused_attention_fwd rejects those)
     g = g.astype(q.dtype)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, tqw_, rawk_, w1_, b1_, wo1_, wo2_, bo_:
@@ -544,11 +616,21 @@ def _fa_bwd(mode, residuals, g):
     dq, dk, dv, dtqw, drawk, dw1, db1, dwo1, dwo2, dbo = vjp(g)
     return (dq, dk, dv, jnp.zeros_like(t_q), jnp.zeros_like(t_k),
             dtqw, drawk, dw1, db1, dwo1, dwo2, dbo,
-            jnp.zeros_like(key_len))
+            jnp.zeros_like(key_len), jnp.zeros_like(drop_mask))
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
+def dm_dummy(dtype=jnp.float32) -> jax.Array:
+    """Placeholder drop_mask operand for the non-dropout modes."""
+    return jnp.zeros(_DM_DUMMY_SHAPE, dtype)
+
+
 def supported(tk_len: int, num_heads: int) -> bool:
     return num_heads == 1 and tk_len <= MAX_KEYS
+
+
+def dropout_supported(tk_len: int) -> bool:
+    """Attention-weight dropout rides the single-tile kernel only."""
+    return _round_up(tk_len, 128) <= SINGLE_TILE_KEYS

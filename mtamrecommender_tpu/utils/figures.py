@@ -62,6 +62,86 @@ def save_tsne_figure(coords: np.ndarray, labels: np.ndarray,
     return path
 
 
+def generate_from_checkpoint(cfg, meta, item_category: Dict[int, int],
+                             checkpoint_dir: str, out_dir: str,
+                             test_batch=None, user_rows: int = 4,
+                             max_items: int = 2000):
+    """Standalone checkpoint-restore figure driver — the
+    `util/generate_figure.py:52` equivalent (the reference's figure tool
+    restores a tf.Saver checkpoint WITHOUT the trainer and renders).
+
+    Restores params via `serve.Recommender.from_checkpoint`, renders the
+    t-SNE item-embedding cluster figure and (when a packed test batch is
+    given) per-user history similarity heatmaps.  Returns
+    ``(arrays, paths)``; paths values are None when matplotlib is
+    unavailable, the arrays are always produced."""
+    from mtamrecommender_tpu.models import base as base_m
+    from mtamrecommender_tpu.serve import Recommender
+
+    rec = Recommender.from_checkpoint(cfg, meta, checkpoint_dir)
+    item_table = np.asarray(rec.params["embedding"]["item_table"])
+    coords, labels = item_embedding_tsne(item_table, item_category,
+                                         max_items=max_items)
+    paths = {"tsne": save_tsne_figure(
+        coords, labels, os.path.join(out_dir, "item_tsne.png"))}
+    arrays = {"tsne_coords": coords, "tsne_labels": labels, "heatmaps": []}
+    if test_batch is not None:
+        emb = base_m.embed(rec.params, test_batch, False)
+        be = np.asarray(emb.behavior_emb)
+        sl = np.asarray(test_batch.seq_len)
+        for b in range(min(user_rows, be.shape[0])):
+            hm = history_similarity_heatmap(be[b], int(sl[b]))
+            arrays["heatmaps"].append(hm)
+            paths[f"heatmap_{b}"] = save_heatmap_figure(
+                hm, os.path.join(out_dir, f"history_heatmap_{b}.png"))
+    return arrays, paths
+
+
+def main(argv=None) -> int:
+    """CLI: restore a checkpoint and render the analysis figures.
+
+    Usage:
+        python -m mtamrecommender_tpu.utils.figures \\
+            --checkpoint data/check_point/run --type synthetic \\
+            --experiment_type MTAM --out_dir data/figures
+    """
+    import argparse
+
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data.ingest import load_origin_data
+    from mtamrecommender_tpu.data.pipeline import batch_iterator, pack_examples
+    from mtamrecommender_tpu.data.prepare import prepare_examples
+
+    ap = argparse.ArgumentParser(prog="mtamrecommender_tpu.utils.figures")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--type", default="synthetic", dest="dataset")
+    ap.add_argument("--experiment_type", default="MTAM")
+    ap.add_argument("--out_dir", default="data/figures")
+    ap.add_argument("--num_units", type=int, default=128)
+    ap.add_argument("--num_blocks", type=int, default=3)
+    ap.add_argument("--max_seq_len", type=int, default=50)
+    ap.add_argument("--heatmap_users", type=int, default=4)
+    ap.add_argument("--max_items", type=int, default=2000)
+    args = ap.parse_args(argv)
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "data.dataset": args.dataset, "data.max_seq_len": args.max_seq_len,
+        "model.experiment_type": args.experiment_type,
+        "model.num_units": args.num_units,
+        "model.num_blocks": args.num_blocks})
+    origin = load_origin_data(cfg.data)
+    prepared = prepare_examples(origin, cfg.data)
+    test = pack_examples(prepared.test_set, prepared.meta)
+    _, batch = next(batch_iterator(test, max(args.heatmap_users, 1)))
+    _, paths = generate_from_checkpoint(
+        cfg, prepared.meta, prepared.item_category, args.checkpoint,
+        args.out_dir, test_batch=batch, user_rows=args.heatmap_users,
+        max_items=args.max_items)
+    for name, p in paths.items():
+        print(f"{name}: {p if p else '(matplotlib unavailable - array only)'}")
+    return 0
+
+
 def save_heatmap_figure(matrix: np.ndarray, path: str) -> Optional[str]:
     try:
         import matplotlib
@@ -78,3 +158,6 @@ def save_heatmap_figure(matrix: np.ndarray, path: str) -> Optional[str]:
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+if __name__ == "__main__":
+    raise SystemExit(main())

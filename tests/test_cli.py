@@ -123,6 +123,48 @@ def test_figures_tsne_and_heatmap(prepared, tmp_path):
         assert os.path.exists(out)
 
 
+def test_figures_from_checkpoint(tmp_path):
+    """The standalone checkpoint-restore figure driver (the reference's
+    util/generate_figure.py:52 restores WITHOUT the trainer): train
+    briefly, checkpoint, render from the checkpoint alone."""
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data.pipeline import batch_iterator, pack_examples
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu.train.checkpoint import Checkpointer
+    from mtamrecommender_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.experiment_type": "MTAM", "model.num_units": 16,
+        "model.num_blocks": 1, "data.max_seq_len": 8,
+        "data.synth_users": 50, "data.synth_items": 30,
+        "data.synth_categories": 4, "data.synth_events_per_user": 10,
+        "data.dataset": "synthetic",
+        "train.train_batch_size": 32, "train.test_batch_size": 64,
+        "train.eval_freq": 1000})
+    prepared = prepare_examples(load_synthetic(cfg.data), cfg.data)
+    train = pack_examples(prepared.train_set, prepared.meta)
+    test = pack_examples(prepared.test_set, prepared.meta)
+    trainer = Trainer(cfg=cfg, model=get_model("MTAM"), train_data=train,
+                      test_data=test, run_dir=str(tmp_path / "run"))
+    state = trainer.fit(max_epochs=1, max_steps=3)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(state, wait=True)
+    ckpt.close()
+
+    _, batch = next(batch_iterator(test, 4))
+    arrays, paths = figures.generate_from_checkpoint(
+        cfg, prepared.meta, prepared.item_category, str(tmp_path / "ckpt"),
+        str(tmp_path / "figs"), test_batch=batch, user_rows=2, max_items=20)
+    assert arrays["tsne_coords"].shape == (20, 2)
+    assert len(arrays["heatmaps"]) == 2
+    for hm, sl in zip(arrays["heatmaps"], np.asarray(batch.seq_len)[:2]):
+        assert hm.shape == (sl, sl)
+        np.testing.assert_allclose(np.diag(hm), 1.0, atol=1e-5)
+    for p in paths.values():
+        if p is not None:
+            assert os.path.exists(p)
+
+
 def test_recommender_serving(tmp_path):
     """serve.Recommender: train briefly, checkpoint, restore, recommend."""
     import jax

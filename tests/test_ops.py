@@ -236,6 +236,56 @@ def test_vanilla_stack_output_shape(att_inputs):
     assert out.shape == (B * 1, d)
 
 
+@pytest.mark.parametrize("kind,gate_mode,heads,drop", [
+    ("time", "positional", 1, 0.0),
+    ("time", "scalar", 1, 0.0),
+    ("time", "positional", 2, 0.0),
+    ("plain", None, 1, 0.5),     # NARM's readout trains WITH weight dropout
+    ("plain", None, 2, 0.0),
+])
+def test_fused_readout_matches_per_hop_loop(att_inputs, kind, gate_mode,
+                                            heads, drop):
+    """The hop-batched Tq=1 readout (_fused_single_query_readout) must be
+    trajectory-identical to the reference-shaped per-hop loop: same values,
+    same grads, same dropout mask bits (the rng folds per hop exactly like
+    the unfused path)."""
+    x, t, lengths = att_inputs
+    B, L, d = x.shape
+    init_kw = {} if gate_mode is None else {"gate_mode": gate_mode}
+    blocks = att.init_attention_stack(jax.random.PRNGKey(3), 3, d, kind=kind,
+                                      t_q_len=1, t_k_len=L, **init_kw)
+    q = x[:, :1, :] * 0.5
+    tq = t[:, -1:]
+    ones = jnp.ones((B,), jnp.int32)
+    rng = jax.random.PRNGKey(9)
+
+    def run(fused):
+        return att.vanilla_attention_stack(
+            blocks, x, q, lengths, ones, kind=kind, num_heads=heads,
+            dropout_rate=drop, train=True, rng=rng,
+            t_queries=tq, t_keys=t, fused=fused)
+
+    np.testing.assert_allclose(_np(run(True)), _np(run(False)),
+                               rtol=2e-5, atol=2e-6)
+
+    # grads through blocks AND the memory must agree too (the fused path
+    # regroups the matmuls; AD must see the same function)
+    def loss(fused):
+        def f(bl, mem, dec):
+            out = att.vanilla_attention_stack(
+                bl, mem, dec, lengths, ones, kind=kind, num_heads=heads,
+                dropout_rate=drop, train=True, rng=rng,
+                t_queries=tq, t_keys=t, fused=fused)
+            return jnp.sum(out * jnp.cos(jnp.arange(d, dtype=jnp.float32)))
+        return jax.grad(f, argnums=(0, 1, 2))(blocks, x, q)
+
+    g_fused, g_loop = loss(True), loss(False)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    flat_l, _ = jax.tree_util.tree_flatten(g_loop)
+    for a, b in zip(flat_f, flat_l):
+        np.testing.assert_allclose(_np(a), _np(b), rtol=5e-5, atol=5e-6)
+
+
 # ------------------------------------------------------------ layers
 
 def test_layer_norm_matches_formula():

@@ -90,6 +90,56 @@ def test_attention_kernel_grad_parity(att_inputs):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_plain_mha_kernel_dropout_training_parity(att_inputs):
+    """TRAINING with attention-weight dropout now rides the fused kernel
+    (the '*_drop' modes): same rng -> same bernoulli mask bits as the jnp
+    path (layers.dropout), so outputs must agree to rounding (the only
+    difference is w/keep vs w*(1/keep))."""
+    x, t, lengths = att_inputs
+    p = att.init_mha_block(jax.random.PRNGKey(5), x.shape[-1])
+    rng = jax.random.PRNGKey(11)
+    ref, _ = att.multihead_attention(p, x, x, lengths, lengths, num_heads=1,
+                                     dropout_rate=0.5, train=True, rng=rng)
+    out, _ = att.multihead_attention(p, x, x, lengths, lengths, num_heads=1,
+                                     dropout_rate=0.5, train=True, rng=rng,
+                                     use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the mask must actually be doing something: a different rng differs
+    out2, _ = att.multihead_attention(p, x, x, lengths, lengths, num_heads=1,
+                                      dropout_rate=0.5, train=True,
+                                      rng=jax.random.PRNGKey(12),
+                                      use_pallas=True)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-4
+
+
+@pytest.mark.parametrize("kind", ["plain", "tisas"])
+def test_attention_kernel_dropout_grad_parity(att_inputs, kind):
+    """Fused backward through the dropped weights: dv uses the DROPPED
+    weights, the weight cotangent re-masks before the softmax transpose —
+    must equal jnp AD through the identically-masked reference path."""
+    x, t, lengths = att_inputs
+    p = att.init_mha_block(jax.random.PRNGKey(6), x.shape[-1])
+    rng = jax.random.PRNGKey(13)
+
+    def loss(pp, xx, use_pallas):
+        if kind == "plain":
+            o, _ = att.multihead_attention(
+                pp, xx, xx, lengths, lengths, num_heads=1, dropout_rate=0.5,
+                train=True, rng=rng, use_pallas=use_pallas)
+        else:
+            o, _ = att.tisas_multihead_attention(
+                pp, xx, xx, lengths, lengths, t, t, num_heads=1,
+                dropout_rate=0.5, train=True, rng=rng, use_pallas=use_pallas)
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(p, x, False)
+    g_pk = jax.grad(loss, argnums=(0, 1))(p, x, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_multihead_fallback_when_unsupported(att_inputs):
     """num_heads > 1 falls back to the jnp path (same result either way)."""
     x, t, lengths = att_inputs
@@ -206,7 +256,8 @@ def test_blockwise_long_history_parity(mode):
     g = [jnp.asarray(rng.randn(Tq, Tk).astype(np.float32) * 0.1)
          for _ in range(5)]
     lens = jnp.asarray([1500, 700], jnp.int32)
-    out = pk.fused_attention(mode, q, k, v, tq, tk, tqw, rawk, *g, lens)
+    out = pk.fused_attention(mode, q, k, v, tq, tk, tqw, rawk, *g, lens,
+                             pk.dm_dummy())
     ref = pk._reference_middle(mode, q, k, v, tq, tk, tqw, rawk, *g, lens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
