@@ -44,6 +44,10 @@ def time_model(name: str, scope: str, calls: int) -> dict:
         "model.num_blocks": 3, "model.vocab_pad_multiple": 128,
         "model.compute_dtype": "bfloat16", "model.scan_unroll": 10,
         "train.steps_per_call": STEPS_PER_CALL}
+    if os.environ.get("FLAT_OPT"):
+        over["train.flatten_optimizer"] = True
+    if os.environ.get("SCAN_UNROLL"):
+        over["model.scan_unroll"] = int(os.environ["SCAN_UNROLL"])
     if scope != "none":
         over["model.use_pallas"] = True
         over["model.pallas_scope"] = scope
@@ -68,9 +72,11 @@ def time_model(name: str, scope: str, calls: int) -> dict:
     fn = make_superstep(model, cfg, opt, meta.item_vocab, BATCH)(
         STEPS_PER_CALL)
     rng = jax.random.PRNGKey(1)
+    t_c = time.perf_counter()
     params, opt_state, stacked, rng = fn(params, opt_state, data, order,
                                          0, rng)                  # compile
     assert np.isfinite(float(np.asarray(stacked["loss"])[-1]))
+    compile_s = time.perf_counter() - t_c   # compile + one warm call
     t0 = time.perf_counter()
     for c in range(calls):
         params, opt_state, stacked, rng = fn(
@@ -80,7 +86,8 @@ def time_model(name: str, scope: str, calls: int) -> dict:
     ms_per_call = dt / calls * 1000
     return {"model": name, "scope": scope,
             "ms_per_100_steps": round(ms_per_call, 1),
-            "examples_per_s": round(BATCH * STEPS_PER_CALL * calls / dt, 1)}
+            "examples_per_s": round(BATCH * STEPS_PER_CALL * calls / dt, 1),
+            "compile_s": round(compile_s, 1)}
 
 
 def main() -> int:

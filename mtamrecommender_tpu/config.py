@@ -96,6 +96,13 @@ class TrainConfig:
                                       # (dispatch-latency amortization;
                                       # TPU-native addition, no reference
                                       # equivalent)
+    flatten_optimizer: bool = False   # run clip+adam on ONE raveled param
+                                      # vector (optax.flatten): collapses
+                                      # the ~20-leaf per-step update chain
+                                      # into a handful of ops — same math
+                                      # (update parity pinned in tests),
+                                      # different opt_state layout in
+                                      # checkpoints
     load_type: str = "from_scratch"   # from_scratch | full | fine_tune
     fine_tune_load_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None

@@ -143,13 +143,12 @@ def multihead_attention(params: Params, queries: jax.Array, keys: jax.Array,
     """Plain MHA (multihead_attention.py:71-193)."""
     if use_pallas and _pallas_attention_enabled():
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
-        if pk.supported(keys.shape[1], num_heads):
+        if pk.supported(keys.shape[1], num_heads) \
+                and _kernel_takes_dropout_shape(keys.shape[1], dropout_rate,
+                                                train):
             dm = _draw_drop_mask(rng, queries, keys, dropout_rate, train)
-            if dm is not None and not pk.dropout_supported(keys.shape[1]):
-                pass  # long-history training keeps the jnp dropout path
-            else:
-                return _plain_attention_pallas(params, queries, keys,
-                                               key_len, query_len, dm)
+            return _plain_attention_pallas(params, queries, keys,
+                                           key_len, query_len, dm)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     scores = scores / (k.shape[-1] ** 0.5)
@@ -226,14 +225,13 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
     (TiSAS_multihead_attention, time_aware_attention.py:73-214)."""
     if use_pallas and _pallas_attention_enabled():
         from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
-        if pk.supported(keys.shape[1], num_heads):
+        if pk.supported(keys.shape[1], num_heads) \
+                and _kernel_takes_dropout_shape(keys.shape[1], dropout_rate,
+                                                train):
             dm = _draw_drop_mask(rng, queries, keys, dropout_rate, train)
-            if dm is not None and not pk.dropout_supported(keys.shape[1]):
-                pass  # long-history training keeps the jnp dropout path
-            else:
-                return _tisas_attention_pallas(params, queries, keys,
-                                               key_len, query_len,
-                                               t_queries, t_keys, dm)
+            return _tisas_attention_pallas(params, queries, keys,
+                                           key_len, query_len,
+                                           t_queries, t_keys, dm)
     q, k, v = _project_qkv(params, queries, keys, num_heads)
     delta = jnp.abs(t_queries[:, :, None] - t_keys[:, None, :])
     interval = jnp.log1p(delta)
@@ -244,6 +242,26 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
 
 
 # ------------------------------------------------- pallas fused middles
+
+# Training WITH attention-weight dropout routes to the fused kernel only
+# at long key lengths: at the reference's L=50 the per-block pallas_call
+# pair (fwd+bwd) costs more than XLA's in-scan fused softmax chain
+# (measured: SASrec scope=all 262.6 ms vs 177.2 per 100-step call,
+# benchmarks/results/steps_r4.json — the same kernel-call-granularity
+# economics as MTAM's Tq=1 hops in r3).  Past this threshold the [Tq,Tk]
+# intermediates grow quadratically and the VMEM-resident kernel wins.
+# Inference (no dropout) routes at any supported length as before.
+DROPOUT_KERNEL_MIN_KEYS = 256
+
+
+def _kernel_takes_dropout_shape(tk_len: int, rate: float, train: bool) -> bool:
+    """Whether the fused kernel should take a train-time call that needs
+    weight dropout; no-dropout calls always qualify."""
+    if not train or rate <= 0.0:
+        return True
+    from mtamrecommender_tpu.ops.pallas import attention_kernel as pk
+    return tk_len >= DROPOUT_KERNEL_MIN_KEYS and pk.dropout_supported(tk_len)
+
 
 def _draw_drop_mask(rng: Optional[jax.Array], queries: jax.Array,
                     keys: jax.Array, rate: float, train: bool
@@ -460,6 +478,41 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
     return cur
 
 
+def _fused_readout_pallas(blocks: List[Params], enc: jax.Array,
+                          dec: jax.Array, key_len: jax.Array,
+                          t_queries: jax.Array, t_keys: jax.Array
+                          ) -> jax.Array:
+    """All hops + projections in ONE pallas call per direction
+    (ops/pallas/readout_kernel.py).  Gate params are normalized to [n, L]
+    rows OUTSIDE the custom_vjp: positional [1,L] params reshape, scalar
+    params broadcast (jax AD reduces their cotangents back)."""
+    from mtamrecommender_tpu.ops.pallas import readout_kernel as rk
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    n, tk = len(blocks), enc.shape[1]
+
+    def gate_row(x):
+        x = x.astype(jnp.float32)
+        if x.ndim == 1:                       # scalar gate, stacked -> [n]
+            return jnp.broadcast_to(x[:, None], (n, tk))
+        return x.reshape(n, tk)               # positional [n, 1, L]
+
+    logdt = jnp.log1p(jnp.abs(t_queries[:, 0:1] - t_keys)
+                      ).astype(jnp.float32)
+    out = rk.fused_readout(
+        enc, dec[:, 0, :], logdt, key_len,
+        stacked["q"]["w"], stacked["q"]["b"],
+        stacked["k"]["w"], stacked["k"]["b"],
+        stacked["v"]["w"], stacked["v"]["b"],
+        stacked["time_input_w"],
+        gate_row(stacked["time_input_w1"]),
+        gate_row(stacked["time_input_b1"]),
+        gate_row(stacked["time_output_w1"]),
+        gate_row(stacked["time_output_w2"]),
+        gate_row(stacked["time_output_b"]),
+        stacked["ln"]["gamma"], stacked["ln"]["beta"])
+    return out.astype(dec.dtype)
+
+
 def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
                             dec: jax.Array, key_len: jax.Array,
                             query_len: jax.Array, *, kind: str,
@@ -473,19 +526,26 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
     reference's final reshape (multihead_attention.py:250,
     time_aware_attention.py:555).
 
-    Tq=1 stacks (the whole MTAM/NARM family) ride the hop-batched fused
-    readout unless the per-hop Pallas kernel would take them (inference
-    with use_pallas, where the fused attention kernel serves instead);
-    ``fused=False`` forces the reference-shaped per-hop loop (the parity
-    oracle for tests)."""
+    Tq=1 stacks (the whole MTAM/NARM family) ride the fused readout
+    KERNEL (time kind, one pallas call for all hops incl. projections)
+    when pallas attention is enabled, else the hop-batched jnp readout;
+    key-axis context parallelism and the per-hop eval kernels stay on the
+    per-hop loop, where their routing lives.  ``fused=False`` forces the
+    reference-shaped per-hop loop (the parity oracle for tests)."""
+    from mtamrecommender_tpu.parallel import context_parallel as cp_lib
     if (fused and dec.shape[1] == 1 and kind in ("plain", "time")
-            and len(blocks) > 0
-            and not (use_pallas and _pallas_attention_enabled()
-                     and not train)):
-        return _fused_single_query_readout(
-            blocks, enc, dec, key_len, kind=kind, num_heads=num_heads,
-            dropout_rate=dropout_rate, train=train, rng=rng,
-            t_queries=t_queries, t_keys=t_keys)
+            and len(blocks) > 0 and cp_lib.active_cp() is None):
+        if (kind == "time" and use_pallas and _pallas_attention_enabled()
+                and num_heads == 1):
+            from mtamrecommender_tpu.ops.pallas import readout_kernel as rk
+            if rk.supported(enc.shape[1], num_heads):
+                return _fused_readout_pallas(blocks, enc, dec, key_len,
+                                             t_queries, t_keys)
+        if not (use_pallas and _pallas_attention_enabled() and not train):
+            return _fused_single_query_readout(
+                blocks, enc, dec, key_len, kind=kind, num_heads=num_heads,
+                dropout_rate=dropout_rate, train=train, rng=rng,
+                t_queries=t_queries, t_keys=t_keys)
     for i, params in enumerate(blocks):
         block_rng = None if rng is None else jax.random.fold_in(rng, i)
         if kind == "plain":

@@ -72,11 +72,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         core = optax.identity()
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(
+    chain = optax.chain(
         optax.clip_by_global_norm(cfg.max_gradient_norm),
         core,
         optax.scale_by_schedule(lambda count: -schedule(count)),
     )
+    if cfg.flatten_optimizer:
+        # run the whole update on ONE raveled vector: the per-leaf op
+        # chains (~8 ops x ~20 leaves per step) collapse to a handful of
+        # whole-param ops.  Same math — global-norm clip and adam are
+        # elementwise/norm ops either way (update parity pinned by
+        # tests/test_train.py::test_flatten_optimizer_update_parity);
+        # the opt_state checkpoint layout changes.
+        chain = optax.flatten(chain)
+    return chain
 
 
 # ------------------------------------------------------------ train state

@@ -478,6 +478,39 @@ def test_checkpoint_cursor_carries_intra_epoch_best(synth_data, tmp_path):
     assert t._cursor_for_save() is None
 
 
+def test_flatten_optimizer_update_parity(synth_data):
+    """train.flatten_optimizer runs clip+adam on one raveled vector —
+    the UPDATES must equal the per-leaf chain's to float tolerance (the
+    global-norm sum order is the only difference)."""
+    from mtamrecommender_tpu.train.trainer import (make_optimizer,
+                                                   make_train_step)
+    train, _ = synth_data
+    cfg = _tiny_cfg("MTAM")
+    cfg_flat = cfg.with_overrides(**{"train.flatten_optimizer": True})
+    model = get_model("MTAM")
+    params = model.init(jax.random.PRNGKey(0), cfg.model, train.meta)
+    batch_it = batch_iterator(train, 16)
+    _, batch = next(batch_it)
+    rng = jax.random.PRNGKey(7)
+
+    p_ref, p_flat = params, params
+    opt_ref = make_optimizer(cfg.train)
+    opt_flat = make_optimizer(cfg_flat.train)
+    s_ref, s_flat = opt_ref.init(p_ref), opt_flat.init(p_flat)
+    step_ref = make_train_step(model, cfg, opt_ref, train.meta.item_vocab)
+    step_flat = make_train_step(model, cfg_flat, opt_flat,
+                                train.meta.item_vocab)
+    for i in range(3):   # a few steps so opt-state moments diverge if wrong
+        _, b = next(batch_it)
+        p_ref, s_ref, m_ref = step_ref(p_ref, s_ref, b, rng)
+        p_flat, s_flat, m_flat = step_flat(p_flat, s_flat, b, rng)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_flat["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_dynamic_superstep_matches_fixed(synth_data, tmp_path):
     """make_dynamic_superstep (one executable, traced trip count) must be
     trajectory-identical to make_superstep's per-size scan for every
