@@ -47,7 +47,14 @@ def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
     over = {"model.experiment_type": name}
     if use_pallas:
         over["model.use_pallas"] = True
-        over["model.pallas_scope"] = "gru"   # measured winner for training
+        # per-family measured winner (steps_r4): the fused GRU kernel
+        # always; the readout/attention kernels only where they won.
+        # Override with PALLAS_SCOPE=... for experiments.
+        over["model.pallas_scope"] = os.environ.get("PALLAS_SCOPE", "gru")
+    if os.environ.get("TIME_GATE_MODE"):
+        # e.g. TIME_GATE_MODE=scalar: the length-free decay-gate
+        # reparameterization (SURVEY.md §5.7) at protocol scale
+        over["model.time_gate_mode"] = os.environ["TIME_GATE_MODE"]
     if bf16:
         over["model.compute_dtype"] = "bfloat16"
     cfg = cfg_base.with_overrides(**over)

@@ -253,6 +253,12 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
 # Inference (no dropout) routes at any supported length as before.
 DROPOUT_KERNEL_MIN_KEYS = 256
 
+# Same economics for the fused multi-hop readout kernel
+# (ops/pallas/readout_kernel.py): at L=50 the hop-batched jnp readout wins
+# (106.7 vs 192.1 ms per 100-step MTAM superstep call, steps_r4 series);
+# the kernel takes the Tq=1 readout only for long memories.
+READOUT_KERNEL_MIN_KEYS = 256
+
 
 def _kernel_takes_dropout_shape(tk_len: int, rate: float, train: bool) -> bool:
     """Whether the fused kernel should take a train-time call that needs
@@ -536,7 +542,13 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
     if (fused and dec.shape[1] == 1 and kind in ("plain", "time")
             and len(blocks) > 0 and cp_lib.active_cp() is None):
         if (kind == "time" and use_pallas and _pallas_attention_enabled()
-                and num_heads == 1):
+                and num_heads == 1
+                and enc.shape[1] >= READOUT_KERNEL_MIN_KEYS):
+            # at the reference's L=50 the jnp fused readout measurably
+            # wins (106.7 vs 192.1 ms/100 steps, steps_r4.json /
+            # docs/PERFORMANCE.md); the one-call kernel pays off only
+            # once the per-hop [B,L,d] projections are big enough that
+            # keeping them out of HBM matters
             from mtamrecommender_tpu.ops.pallas import readout_kernel as rk
             if rk.supported(enc.shape[1], num_heads):
                 return _fused_readout_pallas(blocks, enc, dec, key_len,

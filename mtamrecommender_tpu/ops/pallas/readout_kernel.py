@@ -64,42 +64,45 @@ def _pad_axis(x, length, axis):
     return jnp.pad(x, widths)
 
 
-def _hop_forward(i, dec, mem, logdt, mask, scale,
+def _hop_forward(i, dec, mem, mem2d, logdt, mask, scale,
                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
                  w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                  lng_ref, lnb_ref, in_dtype):
-    """One hop for one row.  dec: [1, d] f32; mem: [L, d] input dtype.
-    Returns (dec_next [1,d] f32, saved intermediates for bwd)."""
-    d = mem.shape[1]
+    """One hop for a whole batch TILE (no per-row loop: every op is
+    batch-parallel, the shape the VPU/MXU want).  dec: [TB, d] f32;
+    mem: [TB, L, d] input dtype; mem2d: [TB*L, d] view of mem.
+    Returns (dec_next [TB, d] f32, saved intermediates for bwd)."""
+    tb, tl, d = mem.shape
     dec_c = dec.astype(in_dtype)
-    q_pre = jnp.dot(dec_c, wq_ref[i], preferred_element_type=jnp.float32) \
-        + bq_ref[i].astype(jnp.float32)
-    q = jax.nn.relu(q_pre)                                     # [1, d]
-    k_pre = jnp.dot(mem, wk_ref[i], preferred_element_type=jnp.float32) \
-        + bk_ref[i].astype(jnp.float32)
-    k = jax.nn.relu(k_pre)                                     # [L, d]
-    v_pre = jnp.dot(mem, wv_ref[i], preferred_element_type=jnp.float32) \
-        + bv_ref[i].astype(jnp.float32)
-    v = jax.nn.relu(v_pre)                                     # [L, d]
+    q = jax.nn.relu(
+        jnp.dot(dec_c, wq_ref[i], preferred_element_type=jnp.float32)
+        + bq_ref[i].astype(jnp.float32))                       # [TB, d]
+    # K/V stay in the input dtype: halves the VMEM live set (so the batch
+    # tile can double) at bf16-rounding cost the jnp path pays anyway
+    # (layers.dense accumulates in x.dtype)
+    k = jax.nn.relu(
+        jnp.dot(mem2d, wk_ref[i], preferred_element_type=jnp.float32)
+        + bk_ref[i].astype(jnp.float32)).astype(in_dtype
+                                                ).reshape(tb, tl, d)
+    v = jax.nn.relu(
+        jnp.dot(mem2d, wv_ref[i], preferred_element_type=jnp.float32)
+        + bv_ref[i].astype(jnp.float32)).astype(in_dtype
+                                                ).reshape(tb, tl, d)
     u = jnp.dot(dec_c, wt_ref[i], preferred_element_type=jnp.float32)
-    tqk = jnp.tanh(jax.lax.dot_general(
-        u.astype(in_dtype), mem, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32))                   # [1, L]
+    tqk = jnp.tanh(jnp.sum(u[:, None, :] * mem.astype(jnp.float32),
+                           axis=2))                            # [TB, L]
     decay = jnp.tanh(logdt * w1_ref[i].astype(jnp.float32)
-                     + b1_ref[i].astype(jnp.float32))          # [1, L]
+                     + b1_ref[i].astype(jnp.float32))          # [TB, L]
     gate = (wo1_ref[i].astype(jnp.float32) * decay
             + wo2_ref[i].astype(jnp.float32) * tqk
             + bo_ref[i].astype(jnp.float32))
     sig = jax.nn.sigmoid(gate)
-    s0 = jax.lax.dot_general(
-        q.astype(in_dtype), k.astype(in_dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [1, L]
+    s0 = jnp.sum(q[:, None, :] * k, axis=2)                    # [TB, L]
     s = jnp.where(mask, s0 * sig * scale, NEG_FILL)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    w = e / jnp.sum(e, axis=1, keepdims=True)                  # [1, L]
-    o = jnp.dot(w.astype(in_dtype), v.astype(in_dtype),
-                preferred_element_type=jnp.float32)            # [1, d]
+    w = e / jnp.sum(e, axis=1, keepdims=True)                  # [TB, L]
+    o = jnp.sum(w[:, :, None] * v, axis=1)                     # [TB, d]
     x = o + dec
     mu = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -117,24 +120,20 @@ def _readout_kernel(n_hops: int, scale: float, rows: int,
                     w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                     lng_ref, lnb_ref, out_ref):
     in_dtype = mem_ref.dtype
-    base = pl.program_id(0) * rows
-
-    def row(r, _):
-        mem = mem_ref[r]                          # [L, d]
-        dec = dec_ref[r].astype(jnp.float32)      # [1, d]
-        logdt = logdt_ref[r]                      # [1, L]
-        col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
-        mask = col < klen_ref[base + r]
-        for i in range(n_hops):
-            dec, _ = _hop_forward(
-                i, dec, mem, logdt, mask, scale,
-                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
-                w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
-                lng_ref, lnb_ref, in_dtype)
-        out_ref[r] = dec
-        return 0
-
-    jax.lax.fori_loop(0, rows, row, 0)
+    tb, tl, d = mem_ref.shape
+    mem = mem_ref[...]
+    mem2d = mem.reshape(tb * tl, d)
+    dec = dec_ref[...][:, 0, :].astype(jnp.float32)            # [TB, d]
+    logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
+    col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
+    mask = col < klen_ref[...]                                 # [TB, 1] bcast
+    for i in range(n_hops):
+        dec, _ = _hop_forward(
+            i, dec, mem, mem2d, logdt, mask, scale,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
+            w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
+            lng_ref, lnb_ref, in_dtype)
+    out_ref[...] = dec[:, None, :]
 
 
 def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
@@ -147,8 +146,6 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
                         dbv_ref, dwt_ref, dw1_ref, db1_ref, dwo1_ref,
                         dwo2_ref, dbo_ref, dlng_ref, dlnb_ref):
     in_dtype = mem_ref.dtype
-    base = pl.program_id(0) * rows
-    d = mem_ref.shape[2]
 
     # param-grad accumulators live in their (replicated) output blocks;
     # zero them in EVERY mode branch on hardware (uninitialised memory
@@ -160,120 +157,108 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
                     dlng_ref, dlnb_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    def row(r, _):
-        mem = mem_ref[r]
-        dec0 = dec_ref[r].astype(jnp.float32)
-        logdt = logdt_ref[r]
-        col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
-        mask = col < klen_ref[base + r]
+    tb, tl, d = mem_ref.shape
+    mem = mem_ref[...]
+    mem2d = mem.reshape(tb * tl, d)
+    dec0 = dec_ref[...][:, 0, :].astype(jnp.float32)           # [TB, d]
+    logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
+    col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
+    mask = col < klen_ref[...]
 
-        # ---- forward replay, keeping the per-hop dec chain + saves ----
-        decs = []
-        saves = []
-        dec = dec0
-        for i in range(n_hops):
-            decs.append(dec)
-            dec, saved = _hop_forward(
-                i, dec, mem, logdt, mask, scale,
-                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
-                w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
-                lng_ref, lnb_ref, in_dtype)
-            saves.append(saved)
+    # ---- forward replay, keeping ONLY the per-hop dec chain ([TB, d]
+    # each) — hop intermediates are recomputed in the reverse sweep so a
+    # single hop's K/V is live at a time (VMEM) ----
+    decs = []
+    dec = dec0
+    for i in range(n_hops):
+        decs.append(dec)
+        dec, _ = _hop_forward(
+            i, dec, mem, mem2d, logdt, mask, scale,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
+            w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
+            lng_ref, lnb_ref, in_dtype)
 
-        # ---- reverse sweep ----
-        g = g_ref[r].astype(jnp.float32)          # [1, d]
-        dmem = jnp.zeros(mem.shape, jnp.float32)
-        for i in range(n_hops - 1, -1, -1):
-            dec_in = decs[i]
-            (q, k, v, u, tqk, decay, gate, sig, s0, w, xh, inv) = saves[i]
-            # layer norm backward (normalize(): (x-mu)*inv*g + b)
-            dlng_ref[i] += jnp.sum(g * xh, axis=0)
-            dlnb_ref[i] += jnp.sum(g, axis=0)
-            dxh = g * lng_ref[i].astype(jnp.float32)
-            dx = (dxh - jnp.mean(dxh, axis=1, keepdims=True)
-                  - xh * jnp.mean(dxh * xh, axis=1, keepdims=True)) * inv
-            do = dx                                # [1, d]
-            ddec_in = dx                           # residual branch
-            # weighted sum backward
-            dw = jax.lax.dot_general(
-                do.astype(in_dtype), v.astype(in_dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [1, L]
-            dv = jax.lax.dot_general(
-                w.astype(in_dtype), do.astype(in_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [L, d]
-            # softmax transpose
-            ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
-            # masked fill: ds is already 0 on masked cols (w == 0 there)
-            dgate = ds * s0 * scale * sig * (1.0 - sig)
-            ds0 = ds * sig * scale
-            # gate params ([1, L] rows accumulate into the [L] grad rows)
-            dpre_dec = dgate * wo1_ref[i].astype(jnp.float32) \
-                * (1.0 - decay * decay)
-            dw1_ref[i] += (dpre_dec * logdt)[0]
-            db1_ref[i] += dpre_dec[0]
-            dwo1_ref[i] += (dgate * decay)[0]
-            dwo2_ref[i] += (dgate * tqk)[0]
-            dbo_ref[i] += dgate[0]
-            # content-time kernel: tqk = tanh(u . mem^T), u = dec @ Wt
-            dpre_tqk = dgate * wo2_ref[i].astype(jnp.float32) \
-                * (1.0 - tqk * tqk)                            # [1, L]
-            du = jnp.dot(dpre_tqk.astype(in_dtype), mem,
-                         preferred_element_type=jnp.float32)   # [1, d]
-            dmem += jax.lax.dot_general(
-                dpre_tqk.astype(in_dtype), u.astype(in_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [L, d]
-            ddec_in += jax.lax.dot_general(
-                du.astype(in_dtype), wt_ref[i], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwt_ref[i] += jax.lax.dot_general(
-                dec_in.astype(in_dtype), du.astype(in_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [d, d]
-            # scores backward: s0 = q . K^T
-            dq = jnp.dot(ds0.astype(in_dtype), k.astype(in_dtype),
-                         preferred_element_type=jnp.float32)   # [1, d]
-            dk = jax.lax.dot_general(
-                ds0.astype(in_dtype), q.astype(in_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [L, d]
-            # relu projections
-            dk_pre = jnp.where(k > 0.0, dk, 0.0)
-            dv_pre = jnp.where(v > 0.0, dv, 0.0)
-            dq_pre = jnp.where(q > 0.0, dq, 0.0)
-            dmem += jax.lax.dot_general(
-                dk_pre.astype(in_dtype), wk_ref[i],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dmem += jax.lax.dot_general(
-                dv_pre.astype(in_dtype), wv_ref[i],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ddec_in += jax.lax.dot_general(
-                dq_pre.astype(in_dtype), wq_ref[i],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwk_ref[i] += jax.lax.dot_general(
-                mem, dk_pre.astype(in_dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbk_ref[i] += jnp.sum(dk_pre, axis=0)
-            dwv_ref[i] += jax.lax.dot_general(
-                mem, dv_pre.astype(in_dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbv_ref[i] += jnp.sum(dv_pre, axis=0)
-            dwq_ref[i] += jax.lax.dot_general(
-                dec_in.astype(in_dtype), dq_pre.astype(in_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbq_ref[i] += jnp.sum(dq_pre, axis=0)
-            g = ddec_in
-        dmem_ref[r] = dmem
-        ddec_ref[r] = g
-        return 0
-
-    jax.lax.fori_loop(0, rows, row, 0)
+    # ---- reverse sweep (whole tile per op) ----
+    g = g_ref[...][:, 0, :].astype(jnp.float32)                # [TB, d]
+    dmem = jnp.zeros((tb, tl, d), jnp.float32)
+    for i in range(n_hops - 1, -1, -1):
+        dec_in = decs[i]
+        _, saved = _hop_forward(
+            i, dec_in, mem, mem2d, logdt, mask, scale,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
+            w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
+            lng_ref, lnb_ref, in_dtype)
+        (q, k, v, u, tqk, decay, gate, sig, s0, w, xh, inv) = saved
+        # layer norm backward (normalize(): (x-mu)*inv*gamma + beta)
+        dlng_ref[i] += jnp.sum(g * xh, axis=0)
+        dlnb_ref[i] += jnp.sum(g, axis=0)
+        dxh = g * lng_ref[i].astype(jnp.float32)
+        dx = (dxh - jnp.mean(dxh, axis=1, keepdims=True)
+              - xh * jnp.mean(dxh * xh, axis=1, keepdims=True)) * inv
+        do = dx                                   # [TB, d]
+        ddec_in = dx                              # residual branch
+        # weighted sum backward: o = sum_l w * V
+        dw = jnp.sum(do[:, None, :] * v, axis=2)               # [TB, L]
+        dv = w[:, :, None] * do[:, None, :]                    # [TB, L, d]
+        # softmax transpose (masked cols have w == 0 -> ds == 0 there)
+        ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
+        dgate = ds * s0 * scale * sig * (1.0 - sig)
+        ds0 = ds * sig * scale
+        # gate-param rows accumulate over the tile's batch rows
+        dpre_dec = dgate * wo1_ref[i].astype(jnp.float32) \
+            * (1.0 - decay * decay)
+        dw1_ref[i] += jnp.sum(dpre_dec * logdt, axis=0)
+        db1_ref[i] += jnp.sum(dpre_dec, axis=0)
+        dwo1_ref[i] += jnp.sum(dgate * decay, axis=0)
+        dwo2_ref[i] += jnp.sum(dgate * tqk, axis=0)
+        dbo_ref[i] += jnp.sum(dgate, axis=0)
+        # content-time kernel: tqk = tanh(sum_e u * mem)
+        dpre_tqk = dgate * wo2_ref[i].astype(jnp.float32) \
+            * (1.0 - tqk * tqk)                                # [TB, L]
+        du = jnp.sum(dpre_tqk[:, :, None] * mem.astype(jnp.float32),
+                     axis=1)      # [TB, d]
+        dmem += dpre_tqk[:, :, None] * u[:, None, :]
+        ddec_in += jax.lax.dot_general(
+            du.astype(in_dtype), wt_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwt_ref[i] += jax.lax.dot_general(
+            dec_in.astype(in_dtype), du.astype(in_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [d, d]
+        # scores backward: s0 = sum_e q * K
+        dq = jnp.sum(ds0[:, :, None] * k, axis=1)              # [TB, d]
+        dk = ds0[:, :, None] * q[:, None, :]                   # [TB, L, d]
+        # relu projections (compare in f32 — Mosaic lacks bf16 cmpf)
+        dk_pre = jnp.where(k.astype(jnp.float32) > 0.0, dk, 0.0
+                           ).reshape(tb * tl, d)
+        dv_pre = jnp.where(v.astype(jnp.float32) > 0.0, dv, 0.0
+                           ).reshape(tb * tl, d)
+        dq_pre = jnp.where(q > 0.0, dq, 0.0)
+        dmem += jax.lax.dot_general(
+            dk_pre.astype(in_dtype), wk_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tb, tl, d)
+        dmem += jax.lax.dot_general(
+            dv_pre.astype(in_dtype), wv_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tb, tl, d)
+        ddec_in += jax.lax.dot_general(
+            dq_pre.astype(in_dtype), wq_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwk_ref[i] += jax.lax.dot_general(
+            mem2d, dk_pre.astype(in_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbk_ref[i] += jnp.sum(dk_pre, axis=0)
+        dwv_ref[i] += jax.lax.dot_general(
+            mem2d, dv_pre.astype(in_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbv_ref[i] += jnp.sum(dv_pre, axis=0)
+        dwq_ref[i] += jax.lax.dot_general(
+            dec_in.astype(in_dtype), dq_pre.astype(in_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbq_ref[i] += jnp.sum(dq_pre, axis=0)
+        g = ddec_in
+    dmem_ref[...] = dmem
+    ddec_ref[...] = g[:, None, :]
 
 
 # ------------------------------------------------------------ dispatch
@@ -292,7 +277,12 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     b_sz, tk, d, tkp = _prep(mem, dec, logdt, key_len)
     n_hops = wq.shape[0]
     scale = 1.0 / (d ** 0.5)
-    tile_b = max(1, min(_TILE_ROWS_FWD, b_sz))
+    # biggest batch tile VMEM allows: live set ~ mem + K + V per hop
+    # (~3 tiles in the input dtype) + [TB,Lp] f32 soup.  Bigger tiles =
+    # fewer, bigger ops — the whole point vs the jnp path.
+    itemsize = 2 if mem.dtype == jnp.bfloat16 else 4
+    tile_b = max(8, min(b_sz, (6 << 20) // (3 * tkp * d * itemsize)))
+    tile_b = max(8, (tile_b // 8) * 8)
     bp = _round_up(b_sz, tile_b)
 
     memp = _pad_axis(_pad_axis(mem, tkp, 1), bp, 0)
@@ -300,7 +290,7 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     logdtp = _pad_axis(_pad_axis(logdt, tkp, 1)[:, None, :], bp, 0)
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]              # [n, Lp]
-    klen = _pad_axis(key_len.astype(jnp.int32), bp, 0)
+    klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
@@ -312,7 +302,8 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
         grid=(bp // tile_b,),
         in_specs=[
             row3(tkp, d), row3(1, d), row3(1, tkp),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             full(n_hops, d, d), full(n_hops, d),     # wq, bq
             full(n_hops, d, d), full(n_hops, d),     # wk, bk
             full(n_hops, d, d), full(n_hops, d),     # wv, bv
@@ -340,7 +331,12 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     b_sz, tk, d, tkp = _prep(mem, dec, logdt, key_len)
     n_hops = wq.shape[0]
     scale = 1.0 / (d ** 0.5)
-    tile_b = max(1, min(_TILE_ROWS_BWD, b_sz))
+    # worst-case live set keeps every hop's K/V from the replay plus the
+    # f32 dmem accumulator: ~(1 + 2*n_hops)*itemsize + 4 bytes per element
+    itemsize = 2 if mem.dtype == jnp.bfloat16 else 4
+    per_row = tkp * d * (3 * itemsize + 3 * 4) * 2   # mem+K+V, dmem+dK+dV, 2x slack
+    tile_b = max(8, min(b_sz, (6 << 20) // per_row))
+    tile_b = max(8, (tile_b // 8) * 8)
     bp = _round_up(b_sz, tile_b)
 
     gp = _pad_axis(g.astype(jnp.float32)[:, None, :], bp, 0)
@@ -349,7 +345,7 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     logdtp = _pad_axis(_pad_axis(logdt, tkp, 1)[:, None, :], bp, 0)
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]
-    klen = _pad_axis(key_len.astype(jnp.int32), bp, 0)
+    klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
@@ -380,7 +376,8 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
         grid=(bp // tile_b,),
         in_specs=[
             row3(1, d), row3(tkp, d), row3(1, d), row3(1, tkp),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             full(n_hops, d, d), full(n_hops, d),
             full(n_hops, d, d), full(n_hops, d),
             full(n_hops, d, d), full(n_hops, d),

@@ -116,6 +116,28 @@ def test_plain_mha_kernel_dropout_training_parity(att_inputs, monkeypatch):
     assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-4
 
 
+def test_dropout_training_routing_threshold(att_inputs, monkeypatch):
+    """At the reference's L=50, training WITH weight dropout stays on the
+    jnp path (the kernel measurably loses there — steps_r4.json); the
+    kernel takes it only past DROPOUT_KERNEL_MIN_KEYS."""
+    x, t, lengths = att_inputs   # L = 50 < 256
+
+    def boom(*a, **k):
+        raise AssertionError("kernel should not take short-L dropout training")
+
+    monkeypatch.setattr(att, "_plain_attention_pallas", boom)
+    p = att.init_mha_block(jax.random.PRNGKey(5), x.shape[-1])
+    out, _ = att.multihead_attention(
+        p, x, x, lengths, lengths, num_heads=1, dropout_rate=0.5,
+        train=True, rng=jax.random.PRNGKey(0), use_pallas=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # eval at the same length still routes to the kernel
+    with pytest.raises(AssertionError, match="should not take"):
+        att.multihead_attention(p, x, x, lengths, lengths, num_heads=1,
+                                dropout_rate=0.5, train=False,
+                                use_pallas=True)
+
+
 @pytest.mark.parametrize("kind", ["plain", "tisas"])
 def test_attention_kernel_dropout_grad_parity(att_inputs, kind, monkeypatch):
     """Fused backward through the dropped weights: dv uses the DROPPED
@@ -186,10 +208,12 @@ def test_fused_readout_kernel_parity(att_inputs, gate_mode, n_hops):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_fused_readout_kernel_in_mtam_training():
+def test_fused_readout_kernel_in_mtam_training(monkeypatch):
     """MTAM pallas_scope=all (readout kernel) trains to the same loss as
     scope=gru (jnp readout) on the same batch/rng — close, not exact (the
-    kernel regroups matmuls)."""
+    kernel regroups matmuls).  Forced past the measured length threshold
+    (default routing keeps L=50-scale readouts on the faster jnp path)."""
+    monkeypatch.setattr(att, "READOUT_KERNEL_MIN_KEYS", 0)
     meta = make_meta(item_count=50, max_seq_len=10)
     batch = make_batch(meta, batch_size=4, seed=0)
     rng = jax.random.PRNGKey(5)
