@@ -119,8 +119,13 @@ def check_readout(jnp, jax):
     grads wrt memory/query/every per-hop param, at headline shapes."""
     from mtamrecommender_tpu.ops import attention as att
     worst_all = 0.0
-    for gate_mode, n_hops in (("positional", 3), ("scalar", 2)):
-        B, L, d = 24, 50, 128
+    # L=512 is IN the kernel's routed regime (READOUT_KERNEL_MIN_KEYS=256
+    # <= L <= 1024) — the L=50 case must be forced and exists to compare
+    # against the same jnp math at the reference shape
+    for gate_mode, n_hops, L in (("positional", 3, 50),
+                                 ("scalar", 2, 50),
+                                 ("positional", 3, 512)):
+        B, d = 12 if L > 128 else 24, 128
         r = np.random.RandomState(1)
         x = jnp.asarray(r.randn(B, L, d).astype(np.float32) * 0.5)
         t = jnp.asarray(np.sort(r.rand(B, L) * 500, 1).astype(np.float32))
@@ -155,8 +160,8 @@ def check_readout(jnp, jax):
             if rel > worst:
                 worst, worst_path = rel, jax.tree_util.keystr(path)
         worst_all = max(worst_all, worst)
-        print(f"readout {gate_mode} n={n_hops}: worst rel grad diff "
-              f"{worst:.2e} at {worst_path}")
+        print(f"readout {gate_mode} n={n_hops} L={L}: worst rel grad "
+              f"diff {worst:.2e} at {worst_path}")
         # 5e-2 bound: the worst leaf is time_input_w (3.25e-2, hop 1),
         # whose cotangent flows EXCLUSIVELY through tanh'(tqk) = 1-tqk^2.
         # At d=128 the content-time logits saturate (|tqk| -> 1), where

@@ -130,8 +130,9 @@ def main() -> int:
         params = model.init(jax.random.PRNGKey(0), cfg.model, meta)
         params = shard_lib.place_params(mesh, cfg.mesh, params)
         opt = make_optimizer(cfg.train)
+        opt_state0 = opt.init(params)
         opt_state = jax.device_put(
-            opt.init(params), shard_lib.replicated_tree(mesh, opt.init(params)))
+            opt_state0, shard_lib.replicated_tree(mesh, opt_state0))
         data = jax.device_put(data, shard_lib.replicated_tree(mesh, data))
         template = jax.eval_shape(
             lambda r: model.init(r, cfg.model, meta), jax.random.PRNGKey(0))

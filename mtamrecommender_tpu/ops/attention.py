@@ -402,7 +402,8 @@ def self_attention_stack(blocks: List[Params], enc: jax.Array,
 
 
 def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
-                                dec: jax.Array, key_len: jax.Array, *,
+                                dec: jax.Array, key_len: jax.Array,
+                                query_len: jax.Array, *,
                                 kind: str, num_heads: int,
                                 dropout_rate: float, train: bool,
                                 rng: Optional[jax.Array],
@@ -455,6 +456,9 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
         gate_part = (_bc(stacked["time_output_w1"]) * decay
                      + _bc(stacked["time_output_b"]))                # [n,B,1,Tk]
     kmask = layers.sequence_mask(key_len, tk)[:, None, :]
+    # per-hop query mask (the _finish qmask at Tq=1): a row with
+    # query_len == 0 keeps only its residual+normalize each hop
+    qz = (query_len > 0).astype(dec.dtype)[:, None]                  # [B, 1]
 
     # ---- short sequential query chain ----
     cur = dec[:, 0, :]                                               # [B, d]
@@ -480,13 +484,15 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
                                      dropout_rate, train)[:, :, 0, :]
         out = jnp.einsum("bhl,blhe->bhe", weights, v_all[i]).reshape(b_sz, d)
         cur = layers.normalize({"gamma": stacked["ln"]["gamma"][i],
-                                "beta": stacked["ln"]["beta"][i]}, out + cur)
+                                "beta": stacked["ln"]["beta"][i]},
+                               out * qz + cur)
     return cur
 
 
 def _fused_readout_pallas(blocks: List[Params], enc: jax.Array,
                           dec: jax.Array, key_len: jax.Array,
-                          t_queries: jax.Array, t_keys: jax.Array
+                          t_queries: jax.Array, t_keys: jax.Array,
+                          query_len: Optional[jax.Array] = None
                           ) -> jax.Array:
     """All hops + projections in ONE pallas call per direction
     (ops/pallas/readout_kernel.py).  Gate params are normalized to [n, L]
@@ -504,8 +510,10 @@ def _fused_readout_pallas(blocks: List[Params], enc: jax.Array,
 
     logdt = jnp.log1p(jnp.abs(t_queries[:, 0:1] - t_keys)
                       ).astype(jnp.float32)
+    qmask = (jnp.ones((enc.shape[0],), jnp.float32) if query_len is None
+             else (query_len > 0).astype(jnp.float32))
     out = rk.fused_readout(
-        enc, dec[:, 0, :], logdt, key_len,
+        enc, dec[:, 0, :], logdt, key_len, qmask,
         stacked["q"]["w"], stacked["q"]["b"],
         stacked["k"]["w"], stacked["k"]["b"],
         stacked["v"]["w"], stacked["v"]["b"],
@@ -552,12 +560,12 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
             from mtamrecommender_tpu.ops.pallas import readout_kernel as rk
             if rk.supported(enc.shape[1], num_heads):
                 return _fused_readout_pallas(blocks, enc, dec, key_len,
-                                             t_queries, t_keys)
+                                             t_queries, t_keys, query_len)
         if not (use_pallas and _pallas_attention_enabled() and not train):
             return _fused_single_query_readout(
-                blocks, enc, dec, key_len, kind=kind, num_heads=num_heads,
-                dropout_rate=dropout_rate, train=train, rng=rng,
-                t_queries=t_queries, t_keys=t_keys)
+                blocks, enc, dec, key_len, query_len, kind=kind,
+                num_heads=num_heads, dropout_rate=dropout_rate, train=train,
+                rng=rng, t_queries=t_queries, t_keys=t_keys)
     for i, params in enumerate(blocks):
         block_rng = None if rng is None else jax.random.fold_in(rng, i)
         if kind == "plain":

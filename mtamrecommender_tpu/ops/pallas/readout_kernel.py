@@ -64,7 +64,7 @@ def _pad_axis(x, length, axis):
     return jnp.pad(x, widths)
 
 
-def _hop_forward(i, dec, mem, mem2d, logdt, mask, scale,
+def _hop_forward(i, dec, mem, mem2d, logdt, mask, qz, scale,
                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
                  w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                  lng_ref, lnb_ref, in_dtype):
@@ -102,7 +102,7 @@ def _hop_forward(i, dec, mem, mem2d, logdt, mask, scale,
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     w = e / jnp.sum(e, axis=1, keepdims=True)                  # [TB, L]
-    o = jnp.sum(w[:, :, None] * v, axis=1)                     # [TB, d]
+    o = jnp.sum(w[:, :, None] * v, axis=1) * qz                # [TB, d]
     x = o + dec
     mu = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
@@ -115,7 +115,7 @@ def _hop_forward(i, dec, mem, mem2d, logdt, mask, scale,
 
 
 def _readout_kernel(n_hops: int, scale: float, rows: int,
-                    mem_ref, dec_ref, logdt_ref, klen_ref,
+                    mem_ref, dec_ref, logdt_ref, klen_ref, qz_ref,
                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
                     w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                     lng_ref, lnb_ref, out_ref):
@@ -127,9 +127,10 @@ def _readout_kernel(n_hops: int, scale: float, rows: int,
     logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
     col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
     mask = col < klen_ref[...]                                 # [TB, 1] bcast
+    qz = qz_ref[...]                                           # [TB, 1] f32
     for i in range(n_hops):
         dec, _ = _hop_forward(
-            i, dec, mem, mem2d, logdt, mask, scale,
+            i, dec, mem, mem2d, logdt, mask, qz, scale,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
             w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
             lng_ref, lnb_ref, in_dtype)
@@ -138,6 +139,7 @@ def _readout_kernel(n_hops: int, scale: float, rows: int,
 
 def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
                         g_ref, mem_ref, dec_ref, logdt_ref, klen_ref,
+                        qz_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         wt_ref, w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
                         lng_ref, lnb_ref,
@@ -164,6 +166,7 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
     logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
     col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
     mask = col < klen_ref[...]
+    qz = qz_ref[...]                                           # [TB, 1] f32
 
     # ---- forward replay, keeping ONLY the per-hop dec chain ([TB, d]
     # each) — hop intermediates are recomputed in the reverse sweep so a
@@ -173,7 +176,7 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
     for i in range(n_hops):
         decs.append(dec)
         dec, _ = _hop_forward(
-            i, dec, mem, mem2d, logdt, mask, scale,
+            i, dec, mem, mem2d, logdt, mask, qz, scale,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
             w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
             lng_ref, lnb_ref, in_dtype)
@@ -184,7 +187,7 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
     for i in range(n_hops - 1, -1, -1):
         dec_in = decs[i]
         _, saved = _hop_forward(
-            i, dec_in, mem, mem2d, logdt, mask, scale,
+            i, dec_in, mem, mem2d, logdt, mask, qz, scale,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
             w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
             lng_ref, lnb_ref, in_dtype)
@@ -195,7 +198,7 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
         dxh = g * lng_ref[i].astype(jnp.float32)
         dx = (dxh - jnp.mean(dxh, axis=1, keepdims=True)
               - xh * jnp.mean(dxh * xh, axis=1, keepdims=True)) * inv
-        do = dx                                   # [TB, d]
+        do = dx * qz             # o was query-masked; residual was not
         ddec_in = dx                              # residual branch
         # weighted sum backward: o = sum_l w * V
         dw = jnp.sum(do[:, None, :] * v, axis=2)               # [TB, L]
@@ -272,8 +275,8 @@ def _prep(mem, dec, logdt, key_len):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
-                 w1, b1, wo1, wo2, bo, lng, lnb):
+def _readout_fwd(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv,
+                 wt, w1, b1, wo1, wo2, bo, lng, lnb):
     b_sz, tk, d, tkp = _prep(mem, dec, logdt, key_len)
     n_hops = wq.shape[0]
     scale = 1.0 / (d ** 0.5)
@@ -281,8 +284,9 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     # (~3 tiles in the input dtype) + [TB,Lp] f32 soup.  Bigger tiles =
     # fewer, bigger ops — the whole point vs the jnp path.
     itemsize = 2 if mem.dtype == jnp.bfloat16 else 4
-    tile_b = max(8, min(b_sz, (6 << 20) // (3 * tkp * d * itemsize)))
-    tile_b = max(8, (tile_b // 8) * 8)
+    tile_b = max(1, min(b_sz, (6 << 20) // (3 * tkp * d * itemsize)))
+    if tile_b >= 8:      # round down for even grids, but NEVER override
+        tile_b = (tile_b // 8) * 8   # the VMEM budget with a floor
     bp = _round_up(b_sz, tile_b)
 
     memp = _pad_axis(_pad_axis(mem, tkp, 1), bp, 0)
@@ -291,19 +295,21 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]              # [n, Lp]
     klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
+    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
     full = lambda *sh: pl.BlockSpec(sh, lambda i: (0,) * len(sh),  # noqa: E731
                                     memory_space=pltpu.VMEM)
+    col2 = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_readout_kernel, n_hops, scale, tile_b),
         grid=(bp // tile_b,),
         in_specs=[
             row3(tkp, d), row3(1, d), row3(1, tkp),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            col2, col2,
             full(n_hops, d, d), full(n_hops, d),     # wq, bq
             full(n_hops, d, d), full(n_hops, d),     # wk, bk
             full(n_hops, d, d), full(n_hops, d),     # wv, bv
@@ -321,13 +327,14 @@ def _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
             transcendentals=b_sz * n_hops * tkp * 4,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(memp, decp, logdtp, klen, wq, bq, wk, bk, wv, bv, wt, *gate, lng, lnb)
+    )(memp, decp, logdtp, klen, qmp, wq, bq, wk, bk, wv, bv, wt, *gate,
+      lng, lnb)
     return out[:b_sz, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
-                 w1, b1, wo1, wo2, bo, lng, lnb):
+def _readout_bwd(g, mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv,
+                 bv, wt, w1, b1, wo1, wo2, bo, lng, lnb):
     b_sz, tk, d, tkp = _prep(mem, dec, logdt, key_len)
     n_hops = wq.shape[0]
     scale = 1.0 / (d ** 0.5)
@@ -335,8 +342,9 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     # f32 dmem accumulator: ~(1 + 2*n_hops)*itemsize + 4 bytes per element
     itemsize = 2 if mem.dtype == jnp.bfloat16 else 4
     per_row = tkp * d * (3 * itemsize + 3 * 4) * 2   # mem+K+V, dmem+dK+dV, 2x slack
-    tile_b = max(8, min(b_sz, (6 << 20) // per_row))
-    tile_b = max(8, (tile_b // 8) * 8)
+    tile_b = max(1, min(b_sz, (6 << 20) // per_row))
+    if tile_b >= 8:      # see _readout_fwd: budget wins over the floor
+        tile_b = (tile_b // 8) * 8
     bp = _round_up(b_sz, tile_b)
 
     gp = _pad_axis(g.astype(jnp.float32)[:, None, :], bp, 0)
@@ -346,12 +354,15 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]
     klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
+    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
     full = lambda *sh: pl.BlockSpec(sh, lambda i: (0,) * len(sh),  # noqa: E731
                                     memory_space=pltpu.VMEM)
+    col2 = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((bp, tkp, d), f32),      # dmem
@@ -376,8 +387,7 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
         grid=(bp // tile_b,),
         in_specs=[
             row3(1, d), row3(tkp, d), row3(1, d), row3(1, tkp),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            col2, col2,
             full(n_hops, d, d), full(n_hops, d),
             full(n_hops, d, d), full(n_hops, d),
             full(n_hops, d, d), full(n_hops, d),
@@ -403,8 +413,8 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
             transcendentals=b_sz * n_hops * tkp * 8,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(gp, memp, decp, logdtp, klen, wq, bq, wk, bk, wv, bv, wt, *gate,
-      lng, lnb)
+    )(gp, memp, decp, logdtp, klen, qmp, wq, bq, wk, bk, wv, bv, wt,
+      *gate, lng, lnb)
     (dmem, ddec, dwq, dbq, dwk, dbk, dwv, dbv, dwt,
      dw1, db1, dwo1, dwo2, dbo, dlng, dlnb) = res
     cutL = lambda x: x[:, :tk]  # noqa: E731
@@ -415,13 +425,15 @@ def _readout_bwd(g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
 
 
 @jax.custom_vjp
-def fused_readout(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
-                  w1, b1, wo1, wo2, bo, lng, lnb):
+def fused_readout(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv,
+                  wt, w1, b1, wo1, wo2, bo, lng, lnb):
     """mem [B,L,d]; dec [B,d]; logdt [B,L] (=log1p|t_q-t_k|);
-    key_len [B]; stacked per-hop params: w* [n,d,d], b* [n,d], gate rows
-    [n,L], ln [n,d].  Returns the final hop's output [B,d] (f32)."""
-    return _readout_fwd(mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv,
-                        wt, w1, b1, wo1, wo2, bo, lng, lnb)
+    key_len [B]; qmask [B] (1.0/0.0 — the Tq=1 query mask: a 0 row keeps
+    only residual+normalize per hop); stacked per-hop params: w* [n,d,d],
+    b* [n,d], gate rows [n,L], ln [n,d].  Returns the final hop's output
+    [B,d] (f32)."""
+    return _readout_fwd(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk,
+                        wv, bv, wt, w1, b1, wo1, wo2, bo, lng, lnb)
 
 
 def _fr_fwd(*args):
@@ -429,14 +441,15 @@ def _fr_fwd(*args):
 
 
 def _fr_bwd(residuals, g):
-    (mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
+    (mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv, wt,
      w1, b1, wo1, wo2, bo, lng, lnb) = residuals
     (dmem, ddec, dwq, dbq, dwk, dbk, dwv, dbv, dwt,
      dw1, db1, dwo1, dwo2, dbo, dlng, dlnb) = _readout_bwd(
-        g, mem, dec, logdt, key_len, wq, bq, wk, bk, wv, bv, wt,
+        g, mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv, wt,
         w1, b1, wo1, wo2, bo, lng, lnb)
     return (dmem.astype(mem.dtype), ddec.astype(dec.dtype),
             jnp.zeros_like(logdt), jnp.zeros_like(key_len),
+            jnp.zeros_like(qmask),
             dwq.astype(wq.dtype), dbq.astype(bq.dtype),
             dwk.astype(wk.dtype), dbk.astype(bk.dtype),
             dwv.astype(wv.dtype), dbv.astype(bv.dtype),

@@ -256,12 +256,14 @@ def test_fused_readout_matches_per_hop_loop(att_inputs, kind, gate_mode,
                                       t_q_len=1, t_k_len=L, **init_kw)
     q = x[:, :1, :] * 0.5
     tq = t[:, -1:]
-    ones = jnp.ones((B,), jnp.int32)
+    # one masked-out query row: the fused paths must reproduce the
+    # per-hop loop's query-mask semantics (residual+normalize only)
+    qlen = jnp.asarray([1] * (B - 1) + [0], jnp.int32)
     rng = jax.random.PRNGKey(9)
 
     def run(fused):
         return att.vanilla_attention_stack(
-            blocks, x, q, lengths, ones, kind=kind, num_heads=heads,
+            blocks, x, q, lengths, qlen, kind=kind, num_heads=heads,
             dropout_rate=drop, train=True, rng=rng,
             t_queries=tq, t_keys=t, fused=fused)
 
@@ -273,7 +275,7 @@ def test_fused_readout_matches_per_hop_loop(att_inputs, kind, gate_mode,
     def loss(fused):
         def f(bl, mem, dec):
             out = att.vanilla_attention_stack(
-                bl, mem, dec, lengths, ones, kind=kind, num_heads=heads,
+                bl, mem, dec, lengths, qlen, kind=kind, num_heads=heads,
                 dropout_rate=drop, train=True, rng=rng,
                 t_queries=tq, t_keys=t, fused=fused)
             return jnp.sum(out * jnp.cos(jnp.arange(d, dtype=jnp.float32)))

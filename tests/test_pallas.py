@@ -178,15 +178,16 @@ def test_fused_readout_kernel_parity(att_inputs, gate_mode, n_hops):
                                       gate_mode=gate_mode)
     dec = x[:, :1, :] * 0.3
     tq = t[:, -1:]
-    ones = jnp.ones((B,), jnp.int32)
+    qlen = jnp.asarray([1] * (B - 1) + [0], jnp.int32)  # one masked query
 
     def run(bl, mem, dq, use_kernel):
         if use_kernel:
-            return att._fused_readout_pallas(bl, mem, dq, lengths, tq, t)
+            return att._fused_readout_pallas(bl, mem, dq, lengths, tq, t,
+                                             qlen)
         return att.vanilla_attention_stack(
-            bl, mem, dq, lengths, ones, kind="time", num_heads=1,
+            bl, mem, dq, lengths, qlen, kind="time", num_heads=1,
             dropout_rate=0.0, train=True, t_queries=tq, t_keys=t,
-            fused=True)
+            fused=False)
 
     ref = run(blocks, x, dec, False)
     out = run(blocks, x, dec, True)
