@@ -39,3 +39,13 @@ for M in "${MODELS[@]}"; do
   FLOORS="--skip_floors"
 done
 echo MATRIX_DONE
+
+# preserve the raw per-eval curves behind the shipped tables (the runs/
+# tree itself is gitignored scratch; events_<tag>/ is the curated copy)
+EV=benchmarks/results/events_${TAG}
+mkdir -p "$EV"
+for M in "${MODELS[@]}"; do
+  SRC=benchmarks/results/runs/${TAG}_${M}/${M}/events.jsonl
+  [ -s "$SRC" ] && cp "$SRC" "$EV/${M}.jsonl"
+done
+echo "curated event curves -> $EV"
