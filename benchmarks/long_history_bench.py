@@ -82,6 +82,10 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=2048)
     ap.add_argument("--items", type=int, default=2000)
     ap.add_argument("--tag", default="r4")
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="enable the kernels (readout kernel routes at "
+                         "seq_len >= 256; GRU kernel where supported)")
+    ap.add_argument("--pallas_scope", default="all")
     ap.add_argument("--cp", type=int, default=0,
                     help="shard the attention key axis over N devices "
                          "(requires N devices, e.g. the virtual CPU mesh)")
@@ -107,6 +111,8 @@ def main() -> int:
         "model.compute_dtype": "bfloat16",
         # the point of the run: the length-free gate
         "model.time_gate_mode": "scalar",
+        "model.use_pallas": args.use_pallas,
+        "model.pallas_scope": args.pallas_scope,
         "train.steps_per_call": spc})
     raw = markov_long_batchset(args.rows, L, args.items, 18)
     data = DeviceDataset(**{k: jnp.asarray(v) for k, v in raw.items()})

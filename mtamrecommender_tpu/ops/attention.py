@@ -11,7 +11,10 @@ Faithfulness notes:
   * the decay gate keeps the reference's position-indexed [T_q, T_k]
     parameters (time_aware_attention.py:295-312).  Shapes are static per
     config in this framework, so this stays compilable; the Pallas kernel
-    (ops/pallas/time_attention.py) computes the same gate blockwise.
+    (ops/pallas/attention_kernel.py) computes the same gate blockwise,
+    and ops/pallas/readout_kernel.py fuses whole multi-hop Tq=1
+    readouts.  Kernel routing is BY MEASUREMENT (see the *_MIN_KEYS
+    thresholds below and docs/PERFORMANCE.md round-4).
   * the content-time kernel tanh(Q W_t K^T) uses the RAW queries/keys
     (:320-323), not the projected Q/K.
   * plain MHA applies dropout to the (query-masked) attention weights

@@ -126,8 +126,8 @@ def _readout_kernel(n_hops: int, scale: float, rows: int,
     dec = dec_ref[...][:, 0, :].astype(jnp.float32)            # [TB, d]
     logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
     col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
-    mask = col < klen_ref[...]                                 # [TB, 1] bcast
-    qz = qz_ref[...]                                           # [TB, 1] f32
+    mask = col < klen_ref[...][:, :, 0]                        # [TB, 1] bcast
+    qz = qz_ref[...][:, :, 0]                                  # [TB, 1] f32
     for i in range(n_hops):
         dec, _ = _hop_forward(
             i, dec, mem, mem2d, logdt, mask, qz, scale,
@@ -165,8 +165,8 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
     dec0 = dec_ref[...][:, 0, :].astype(jnp.float32)           # [TB, d]
     logdt = logdt_ref[...][:, 0, :]                            # [TB, L]
     col = jax.lax.broadcasted_iota(jnp.int32, logdt.shape, 1)
-    mask = col < klen_ref[...]
-    qz = qz_ref[...]                                           # [TB, 1] f32
+    mask = col < klen_ref[...][:, :, 0]
+    qz = qz_ref[...][:, :, 0]                                  # [TB, 1] f32
 
     # ---- forward replay, keeping ONLY the per-hop dec chain ([TB, d]
     # each) — hop intermediates are recomputed in the reverse sweep so a
@@ -294,16 +294,15 @@ def _readout_fwd(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv,
     logdtp = _pad_axis(_pad_axis(logdt, tkp, 1)[:, None, :], bp, 0)
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]              # [n, Lp]
-    klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
-    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None], bp, 0)
+    klen = _pad_axis(key_len.astype(jnp.int32)[:, None, None], bp, 0)
+    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
     full = lambda *sh: pl.BlockSpec(sh, lambda i: (0,) * len(sh),  # noqa: E731
                                     memory_space=pltpu.VMEM)
-    col2 = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    col2 = row3(1, 1)
     out = pl.pallas_call(
         functools.partial(_readout_kernel, n_hops, scale, tile_b),
         grid=(bp // tile_b,),
@@ -353,16 +352,15 @@ def _readout_bwd(g, mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv,
     logdtp = _pad_axis(_pad_axis(logdt, tkp, 1)[:, None, :], bp, 0)
     gate = [_pad_axis(x, tkp, 1).astype(jnp.float32)
             for x in (w1, b1, wo1, wo2, bo)]
-    klen = _pad_axis(key_len.astype(jnp.int32)[:, None], bp, 0)
-    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None], bp, 0)
+    klen = _pad_axis(key_len.astype(jnp.int32)[:, None, None], bp, 0)
+    qmp = _pad_axis(qmask.astype(jnp.float32)[:, None, None], bp, 0)
 
     row3 = lambda t, dd: pl.BlockSpec((tile_b, t, dd),  # noqa: E731
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
     full = lambda *sh: pl.BlockSpec(sh, lambda i: (0,) * len(sh),  # noqa: E731
                                     memory_space=pltpu.VMEM)
-    col2 = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+    col2 = row3(1, 1)
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((bp, tkp, d), f32),      # dmem
