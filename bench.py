@@ -32,7 +32,8 @@ REFERENCE_SHAPED_EXAMPLES_PER_SEC = 6017.1
 
 BATCH = 256
 STEPS_PER_CALL = 200   # one jit call = one lax.scan of 200 optimizer steps
-                       # (measured: 238k ex/s vs 234k at 100, flat at 400)
+                       # (measured r4: 251.8k ex/s at 200 steps/call vs
+                       # ~240k at 100; flat at 400)
 CALLS = 3              # timed superstep calls (600 steps total)
 N_ROWS = 4096          # synthetic dataset rows resident in HBM
 
@@ -58,9 +59,9 @@ def _setup():
         "model.experiment_type": "MTAM", "model.num_units": 128,
         "model.num_blocks": 3, "model.vocab_pad_multiple": 128,
         "model.compute_dtype": "bfloat16",
-        # fused GRU fwd+bwd kernel wins for training; the attention kernel
-        # is a net loss under grad (recompute bwd) so it stays off here —
-        # per-family honest timings in docs/PERFORMANCE.md
+        # fused GRU fwd+bwd kernel wins for training; the attention and
+        # readout kernels are routed by measured length thresholds and do
+        # not engage at L=50 — per-family timings in docs/PERFORMANCE.md
         "model.use_pallas": True, "model.pallas_scope": "gru",
         "model.scan_unroll": 10,
         "train.steps_per_call": STEPS_PER_CALL})
