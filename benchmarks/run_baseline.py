@@ -55,6 +55,10 @@ def run_one(name: str, steps: int, use_pallas: bool, bf16: bool,
         # e.g. TIME_GATE_MODE=scalar: the length-free decay-gate
         # reparameterization (SURVEY.md §5.7) at protocol scale
         over["model.time_gate_mode"] = os.environ["TIME_GATE_MODE"]
+    if os.environ.get("TRAIN_SEED"):
+        # seed-band runs: vary the TRAINING seed (init/shuffle/dropout)
+        # while the dataset stays the fixed seed-1234 synthetic log
+        over["train.seed"] = int(os.environ["TRAIN_SEED"])
     if bf16:
         over["model.compute_dtype"] = "bfloat16"
     cfg = cfg_base.with_overrides(**over)

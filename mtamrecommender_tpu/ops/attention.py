@@ -478,7 +478,6 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
         scores = scores / (dh ** 0.5)
         scores = jnp.where(kmask, scores, NEG_FILL)
         weights = jax.nn.softmax(scores, axis=-1)
-        # query_len is all-ones at Tq=1 -> the _finish query mask is a no-op
         if kind == "plain" and dropout_rate > 0.0:
             block_rng = None if rng is None else jax.random.fold_in(rng, i)
             # same draw shape/fold as the unfused path ([B,h,1,Tk]) so the

@@ -46,8 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_FILL = -(2.0 ** 32) + 1.0
-_TILE_ROWS_FWD = 16
-_TILE_ROWS_BWD = 8
 MAX_KEYS = 1024          # single [L, d] memory tile per row; longer -> jnp
 
 
@@ -114,7 +112,7 @@ def _hop_forward(i, dec, mem, mem2d, logdt, mask, qz, scale,
     return dec_next, saved
 
 
-def _readout_kernel(n_hops: int, scale: float, rows: int,
+def _readout_kernel(n_hops: int, scale: float,
                     mem_ref, dec_ref, logdt_ref, klen_ref, qz_ref,
                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wt_ref,
                     w1_ref, b1_ref, wo1_ref, wo2_ref, bo_ref,
@@ -137,7 +135,7 @@ def _readout_kernel(n_hops: int, scale: float, rows: int,
     out_ref[...] = dec[:, None, :]
 
 
-def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
+def _readout_bwd_kernel(n_hops: int, scale: float,
                         g_ref, mem_ref, dec_ref, logdt_ref, klen_ref,
                         qz_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
@@ -268,8 +266,6 @@ def _readout_bwd_kernel(n_hops: int, scale: float, rows: int,
 
 def _prep(mem, dec, logdt, key_len):
     b_sz, tk, d = mem.shape
-    sublane = 16 if mem.dtype == jnp.bfloat16 else 8
-    del sublane   # Tq dimension is 1 and padded tiles handle it
     tkp = _round_up(tk, 128)
     return b_sz, tk, d, tkp
 
@@ -304,7 +300,7 @@ def _readout_fwd(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv,
                                     memory_space=pltpu.VMEM)
     col2 = row3(1, 1)
     out = pl.pallas_call(
-        functools.partial(_readout_kernel, n_hops, scale, tile_b),
+        functools.partial(_readout_kernel, n_hops, scale),
         grid=(bp // tile_b,),
         in_specs=[
             row3(tkp, d), row3(1, d), row3(1, tkp),
@@ -321,7 +317,7 @@ def _readout_fwd(mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv, bv,
         out_specs=row3(1, d),
         out_shape=jax.ShapeDtypeStruct((bp, 1, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b_sz * n_hops * tkp * d * (3 * d + 8) // 1,
+            flops=2 * b_sz * n_hops * tkp * d * (3 * d + 8),
             bytes_accessed=2 * b_sz * tkp * d,
             transcendentals=b_sz * n_hops * tkp * 4,
         ),
@@ -381,7 +377,7 @@ def _readout_bwd(g, mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv,
         jax.ShapeDtypeStruct((n_hops, d), f32),       # dlnb
     )
     res = pl.pallas_call(
-        functools.partial(_readout_bwd_kernel, n_hops, scale, tile_b),
+        functools.partial(_readout_bwd_kernel, n_hops, scale),
         grid=(bp // tile_b,),
         in_specs=[
             row3(1, d), row3(tkp, d), row3(1, d), row3(1, tkp),
@@ -406,7 +402,7 @@ def _readout_bwd(g, mem, dec, logdt, key_len, qmask, wq, bq, wk, bk, wv,
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=6 * b_sz * n_hops * tkp * d * (3 * d + 8) // 1,
+            flops=6 * b_sz * n_hops * tkp * d * (3 * d + 8),
             bytes_accessed=6 * b_sz * tkp * d,
             transcendentals=b_sz * n_hops * tkp * 8,
         ),
