@@ -46,6 +46,8 @@ def time_model(name: str, scope: str, calls: int) -> dict:
         "train.steps_per_call": STEPS_PER_CALL}
     if os.environ.get("FLAT_OPT"):
         over["train.flatten_optimizer"] = True
+    if os.environ.get("PACK_SMALL"):
+        over["train.pack_small_leaves"] = True
     if os.environ.get("SCAN_UNROLL"):
         over["model.scan_unroll"] = int(os.environ["SCAN_UNROLL"])
     if scope != "none":

@@ -102,7 +102,17 @@ class TrainConfig:
                                       # into a handful of ops — same math
                                       # (update parity pinned in tests),
                                       # different opt_state layout in
-                                      # checkpoints
+                                      # checkpoints.  Measured 20x SLOWER
+                                      # (table copies); see
+                                      # pack_small_leaves below instead
+    pack_small_leaves: bool = False   # ravel only the SMALL float leaves
+                                      # (~20 [d,d]/[d] mats, ~1 MB) into
+                                      # one vector for the optimizer,
+                                      # leaving the big embedding tables
+                                      # standalone: ~24 per-leaf op
+                                      # chains/step -> 5.  Same math;
+                                      # update parity pinned in tests;
+                                      # opt_state layout changes
     load_type: str = "from_scratch"   # from_scratch | full | fine_tune
     fine_tune_load_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None

@@ -57,6 +57,66 @@ def make_lr_schedule(cfg: TrainConfig) -> Callable[[jax.Array], jax.Array]:
     return schedule
 
 
+def pack_small_leaves(inner: optax.GradientTransformation,
+                      max_elems: int = 1 << 20
+                      ) -> optax.GradientTransformation:
+    """Run ``inner`` with every SMALL float param leaf raveled into one
+    vector, big leaves (embedding tables) left standalone.
+
+    The motivation is per-op overhead: the optimizer update is a chain of
+    elementwise ops PER LEAF, and this model is ~20 small [d,d]/[d]
+    leaves + 4 big tables — so adam costs ~24 op-chains/step where 5
+    would do.  `optax.flatten` (ravel EVERYTHING) was measured 20x
+    slower because copying the ~10 MB tables in and out each step
+    dominates; packing only the small leaves copies ~1 MB and keeps the
+    tables' updates in place.  Math-identical to the unpacked chain
+    (global-norm clip and adam are elementwise/norm ops either way);
+    update parity pinned by tests/test_train.py.
+    """
+
+    def _meta(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        small = [i for i, l in enumerate(leaves)
+                 if l.size <= max_elems and jnp.issubdtype(l.dtype,
+                                                           jnp.floating)]
+        big = [i for i in range(len(leaves)) if i not in small]
+        return treedef, small, big, leaves
+
+    def _pack(tree):
+        treedef, small, big, leaves = _meta(tree)
+        packed = [leaves[i] for i in big]
+        if small:
+            packed.insert(0, jnp.concatenate(
+                [leaves[i].ravel() for i in small]))
+        else:
+            packed.insert(0, jnp.zeros((0,), jnp.float32))
+        return packed
+
+    def _unpack(packed, like):
+        treedef, small, big, leaves = _meta(like)
+        out = list(leaves)
+        flat = packed[0]
+        off = 0
+        for i in small:
+            n = leaves[i].size
+            out[i] = flat[off:off + n].reshape(leaves[i].shape
+                                               ).astype(leaves[i].dtype)
+            off += n
+        for j, i in enumerate(big):
+            out[i] = packed[1 + j]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        return inner.init(_pack(params))
+
+    def update(grads, state, params=None):
+        p_packed = None if params is None else _pack(params)
+        u_packed, state = inner.update(_pack(grads), state, p_packed)
+        return _unpack(u_packed, grads), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Optimizer select with TF-1.14 default hyperparameters
     (base_model.py:71-80)."""
@@ -83,8 +143,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # whole-param ops.  Same math — global-norm clip and adam are
         # elementwise/norm ops either way (update parity pinned by
         # tests/test_train.py::test_flatten_optimizer_update_parity);
-        # the opt_state checkpoint layout changes.
+        # the opt_state checkpoint layout changes.  MEASURED 20x SLOWER
+        # at headline shapes (docs/PERFORMANCE.md) — kept as a knob.
         chain = optax.flatten(chain)
+    if cfg.pack_small_leaves:
+        chain = pack_small_leaves(chain)
     return chain
 
 

@@ -478,15 +478,17 @@ def test_checkpoint_cursor_carries_intra_epoch_best(synth_data, tmp_path):
     assert t._cursor_for_save() is None
 
 
-def test_flatten_optimizer_update_parity(synth_data):
-    """train.flatten_optimizer runs clip+adam on one raveled vector —
-    the UPDATES must equal the per-leaf chain's to float tolerance (the
-    global-norm sum order is the only difference)."""
+@pytest.mark.parametrize("knob", ["flatten_optimizer", "pack_small_leaves"])
+def test_flatten_optimizer_update_parity(synth_data, knob):
+    """train.flatten_optimizer (ravel everything) and
+    train.pack_small_leaves (ravel only the small leaves, tables
+    standalone) must produce the per-leaf chain's exact updates to float
+    tolerance (the global-norm sum order is the only difference)."""
     from mtamrecommender_tpu.train.trainer import (make_optimizer,
                                                    make_train_step)
     train, _ = synth_data
     cfg = _tiny_cfg("MTAM")
-    cfg_flat = cfg.with_overrides(**{"train.flatten_optimizer": True})
+    cfg_flat = cfg.with_overrides(**{f"train.{knob}": True})
     model = get_model("MTAM")
     params = model.init(jax.random.PRNGKey(0), cfg.model, train.meta)
     batch_it = batch_iterator(train, 16)
