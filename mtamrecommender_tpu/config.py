@@ -75,6 +75,12 @@ class ModelConfig:
     # row-shard evenly over the model mesh axis and tile the 128-wide TPU
     # lane dim; logits past the logical vocab are masked (models/base.py)
     vocab_pad_multiple: int = 1
+    # embedding-table backward: 'auto' (one-hot^T @ ct on the MXU for
+    # tables <= ops.embedding.ONEHOT_BWD_MAX_VOCAB rows, XLA scatter-add
+    # beyond), 'scatter', or 'onehot'.  TPU scatter-add is a serial
+    # per-index loop and was the measured framework floor
+    # (benchmarks/results/floor_r5.json); see ops/embedding.py
+    embedding_grad_mode: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -126,7 +126,11 @@ def bpr_loss(params: Params, out: ModelOutput, batch: Batch,
                 + jnp.sum(jnp.square(pos) * batch.valid[:, None])
                 + jnp.sum(jnp.square(neg)))
     n_valid = jnp.maximum(jnp.sum(batch.valid), 1.0)
-    rank_term = jnp.sum(jnp.log(jax.nn.sigmoid(x)) * batch.valid) / n_valid
+    # DIVERGENCE (documented in README): the reference computes
+    # tf.log(tf.sigmoid(x)) (BPRMF.py:57), which underflows to -inf for
+    # x <~ -88; log_sigmoid is the numerically exact same function and
+    # keeps a legitimate run from tripping the non-finite-loss guard.
+    rank_term = jnp.sum(jax.nn.log_sigmoid(x) * batch.valid) / n_valid
     loss = 5e-5 * l2 - rank_term
     return {"loss": loss, "ce": -rank_term, "l2": l2}
 
@@ -146,6 +150,7 @@ def _apply_trace_knobs(cfg: ModelConfig) -> None:
     from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
     time_gru.set_scan_unroll(cfg.scan_unroll)
     pallas_flags.set_scope(cfg.pallas_scope)
+    emb_ops.set_grad_mode(cfg.embedding_grad_mode)
 
 
 def _compute_cast(cfg: ModelConfig, params: Params, batch: Batch):

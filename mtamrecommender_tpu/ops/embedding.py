@@ -54,16 +54,65 @@ def init_behavior_embedding(rng: jax.Array, meta: DatasetMeta, num_units: int,
     }
 
 
+# Backward-pass routing for table lookups.  XLA lowers scatter-add to a
+# SERIAL per-index loop on TPU; at the headline shapes (12.8k ids/step
+# into each of 4 tables) that loop IS the framework floor: the measured
+# STAMP decomposition (benchmarks/results/floor_r5.json) pins the 4
+# scatter backwards at ~33 of the 62 ms/100-step floor, while expressing
+# the same reduction as one-hot^T @ ct on the MXU runs the identical
+# step at 44.5 ms.  'auto' (default) uses the one-hot-matmul backward
+# for tables up to ONEHOT_BWD_MAX_VOCAB rows — the one-hot cost scales
+# with n_ids * vocab, so huge catalogs (which should be EP-sharded
+# anyway) keep the scatter.  Same math up to float-summation order
+# (one-hot accumulates in f32 and rounds once; scatter rounds per add) —
+# parity pinned in tests/test_ops.py.
+ONEHOT_BWD_MAX_VOCAB = 4096
+_GRAD_MODE = "auto"     # auto | scatter | onehot (trace-time knob)
+
+
+def set_grad_mode(mode: str) -> None:
+    global _GRAD_MODE
+    if mode not in ("auto", "scatter", "onehot"):
+        raise ValueError(f"unknown embedding_grad_mode {mode!r}")
+    _GRAD_MODE = mode
+
+
+@jax.custom_vjp
+def _take_onehot_bwd(table: jax.Array, ids: jax.Array) -> jax.Array:
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_oh_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _take_oh_bwd(res, ct):
+    ids, vocab = res
+    flat_ct = ct.reshape(-1, ct.shape[-1])
+    oh = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=flat_ct.dtype)
+    dtable = jnp.matmul(oh.T, flat_ct,
+                        preferred_element_type=jnp.float32
+                        ).astype(flat_ct.dtype)
+    return dtable, None
+
+
+_take_onehot_bwd.defvjp(_take_oh_fwd, _take_oh_bwd)
+
+
 def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     """Table lookup.  Inside a `parallel.embedding_shard.engine_scope`
     (entered by dist_trainer while tracing a sharded step with
     MeshConfig.embedding_engine != 'gspmd') the lookup routes through the
-    explicit shard_map engine; otherwise jnp.take, with GSPMD free to
-    partition it from the sharding annotations."""
+    explicit shard_map engine; otherwise jnp.take — with the backward
+    routed per _GRAD_MODE (see above), and GSPMD free to partition
+    either form from the sharding annotations."""
     from mtamrecommender_tpu.parallel import embedding_shard as es
     engine = es.active_gather()
     if engine is not None:
         return engine(table, ids)
+    if _GRAD_MODE == "onehot" or (_GRAD_MODE == "auto"
+                                  and table.shape[0] <= ONEHOT_BWD_MAX_VOCAB):
+        return _take_onehot_bwd(table, ids)
     return jnp.take(table, ids, axis=0)
 
 

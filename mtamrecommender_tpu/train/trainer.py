@@ -75,35 +75,44 @@ def pack_small_leaves(inner: optax.GradientTransformation,
     """
 
     def _meta(tree):
+        """Small float leaves grouped BY DTYPE (one packed vector per
+        dtype): concatenating mixed dtypes would silently promote to the
+        widest and run the optimizer moments in the promoted dtype
+        (ADVICE r4).  Uniform-f32 trees — every shipped config — still
+        pack into exactly one vector."""
         leaves, treedef = jax.tree_util.tree_flatten(tree)
-        small = [i for i, l in enumerate(leaves)
-                 if l.size <= max_elems and jnp.issubdtype(l.dtype,
-                                                           jnp.floating)]
-        big = [i for i in range(len(leaves)) if i not in small]
+        groups: Dict[str, list] = {}
+        for i, l in enumerate(leaves):
+            if l.size <= max_elems and jnp.issubdtype(l.dtype, jnp.floating):
+                groups.setdefault(jnp.dtype(l.dtype).name, []).append(i)
+        group_keys = sorted(groups)
+        small = {k: groups[k] for k in group_keys}
+        in_small = {i for idxs in groups.values() for i in idxs}
+        big = [i for i in range(len(leaves)) if i not in in_small]
         return treedef, small, big, leaves
 
     def _pack(tree):
         treedef, small, big, leaves = _meta(tree)
-        packed = [leaves[i] for i in big]
-        if small:
-            packed.insert(0, jnp.concatenate(
-                [leaves[i].ravel() for i in small]))
-        else:
-            packed.insert(0, jnp.zeros((0,), jnp.float32))
+        packed = [jnp.concatenate([leaves[i].ravel() for i in idxs])
+                  for idxs in small.values()]
+        if not packed:
+            packed = [jnp.zeros((0,), jnp.float32)]
+        packed.extend(leaves[i] for i in big)
         return packed
 
     def _unpack(packed, like):
         treedef, small, big, leaves = _meta(like)
         out = list(leaves)
-        flat = packed[0]
-        off = 0
-        for i in small:
-            n = leaves[i].size
-            out[i] = flat[off:off + n].reshape(leaves[i].shape
-                                               ).astype(leaves[i].dtype)
-            off += n
+        n_groups = max(len(small), 1)
+        for flat, idxs in zip(packed[:n_groups], small.values()):
+            off = 0
+            for i in idxs:
+                n = leaves[i].size
+                out[i] = flat[off:off + n].reshape(leaves[i].shape
+                                                   ).astype(leaves[i].dtype)
+                off += n
         for j, i in enumerate(big):
-            out[i] = packed[1 + j]
+            out[i] = packed[n_groups + j]
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def init(params):

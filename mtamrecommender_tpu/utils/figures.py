@@ -120,15 +120,41 @@ def main(argv=None) -> int:
     ap.add_argument("--num_units", type=int, default=128)
     ap.add_argument("--num_blocks", type=int, default=3)
     ap.add_argument("--max_seq_len", type=int, default=50)
+    # every remaining flag that affects checkpoint SHAPE must be
+    # restorable here, or Orbax fails with an opaque shape error
+    # (ADVICE r4): gate parameterization, head count, vocab padding
+    ap.add_argument("--time_gate_mode", default="positional",
+                    choices=["positional", "scalar"])
+    ap.add_argument("--num_heads", type=int, default=1)
+    ap.add_argument("--vocab_pad_multiple", type=int, default=1)
+    ap.add_argument("--config_json", default=None,
+                    help="path to a cfg.to_dict() JSON dump of the run's "
+                         "resolved config; overrides the individual flags")
     ap.add_argument("--heatmap_users", type=int, default=4)
     ap.add_argument("--max_items", type=int, default=2000)
     args = ap.parse_args(argv)
 
-    cfg = ExperimentConfig().with_overrides(**{
-        "data.dataset": args.dataset, "data.max_seq_len": args.max_seq_len,
-        "model.experiment_type": args.experiment_type,
-        "model.num_units": args.num_units,
-        "model.num_blocks": args.num_blocks})
+    if args.config_json:
+        import json as _json
+
+        from mtamrecommender_tpu.config import (DataConfig, MeshConfig,
+                                                ModelConfig, TrainConfig)
+        with open(args.config_json) as f:
+            d = _json.load(f)
+        d["train"]["topk"] = tuple(d["train"].get("topk", (1, 5, 10, 30, 50)))
+        cfg = ExperimentConfig(
+            version=d.get("version", "dev"), data=DataConfig(**d["data"]),
+            model=ModelConfig(**d["model"]), train=TrainConfig(**d["train"]),
+            mesh=MeshConfig(**d.get("mesh", {})))
+    else:
+        cfg = ExperimentConfig().with_overrides(**{
+            "data.dataset": args.dataset, "data.max_seq_len": args.max_seq_len,
+            "model.experiment_type": args.experiment_type,
+            "model.num_units": args.num_units,
+            "model.num_blocks": args.num_blocks,
+            "model.time_gate_mode": args.time_gate_mode,
+            "model.num_heads": args.num_heads,
+            "model.vocab_pad_multiple": args.vocab_pad_multiple})
     origin = load_origin_data(cfg.data)
     prepared = prepare_examples(origin, cfg.data)
     test = pack_examples(prepared.test_set, prepared.meta)

@@ -165,6 +165,47 @@ def test_figures_from_checkpoint(tmp_path):
             assert os.path.exists(p)
 
 
+def test_figures_cli_main(tmp_path):
+    """figures.main() end-to-end on a tiny checkpoint with NON-default
+    shape-affecting knobs (scalar gate, vocab padding) passed via
+    --config_json — the restore fails with an Orbax shape error if the
+    CLI drops any of them (ADVICE r4)."""
+    import json
+
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.data.pipeline import pack_examples
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu.train.checkpoint import Checkpointer
+    from mtamrecommender_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig().with_overrides(**{
+        "model.experiment_type": "MTAM", "model.num_units": 16,
+        "model.num_blocks": 1, "data.max_seq_len": 8,
+        "model.time_gate_mode": "scalar", "model.vocab_pad_multiple": 8,
+        "data.synth_users": 50, "data.synth_items": 30,
+        "data.synth_categories": 4, "data.synth_events_per_user": 10,
+        "data.dataset": "synthetic",
+        "train.train_batch_size": 32, "train.test_batch_size": 64,
+        "train.eval_freq": 1000})
+    prepared = prepare_examples(load_synthetic(cfg.data), cfg.data)
+    train = pack_examples(prepared.train_set, prepared.meta)
+    test = pack_examples(prepared.test_set, prepared.meta)
+    trainer = Trainer(cfg=cfg, model=get_model("MTAM"), train_data=train,
+                      test_data=test, run_dir=str(tmp_path / "run"))
+    state = trainer.fit(max_epochs=1, max_steps=3)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(state, wait=True)
+    ckpt.close()
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+
+    rc = figures.main(["--checkpoint", str(tmp_path / "ckpt"),
+                       "--config_json", str(cfg_path),
+                       "--out_dir", str(tmp_path / "figs"),
+                       "--heatmap_users", "2", "--max_items", "20"])
+    assert rc == 0
+
+
 def test_recommender_serving(tmp_path):
     """serve.Recommender: train briefly, checkpoint, restore, recommend."""
     import jax

@@ -367,3 +367,63 @@ def test_embedding_config_reader(tmp_path):
     cfg = read_embedding_config(str(path))
     assert list(cfg.items()) == [("item_id", (3706, 128)),
                                  ("cat_id", (18, 128))]
+
+
+def test_onehot_backward_matches_scatter():
+    """The one-hot-matmul table backward (ops/embedding._take_onehot_bwd,
+    the measured floor fix — benchmarks/results/floor_r5.json) is the
+    same reduction as XLA's scatter-add up to float summation order:
+    duplicate ids must accumulate, padded/filler cotangents stay zero."""
+    from mtamrecommender_tpu.ops import embedding as emb
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(37, 16).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 37, size=(8, 12)).astype(np.int32))
+    w = jnp.asarray(rng.randn(8, 12, 16).astype(np.float32))
+
+    def loss(gather_fn, t):
+        return jnp.sum(jnp.tanh(gather_fn(t, ids)) * w)
+
+    g_scatter = jax.grad(
+        lambda t: loss(lambda tb, i: jnp.take(tb, i, axis=0), t))(table)
+    g_onehot = jax.grad(lambda t: loss(emb._take_onehot_bwd, t))(table)
+    np.testing.assert_allclose(np.asarray(g_onehot), np.asarray(g_scatter),
+                               rtol=1e-5, atol=1e-5)
+    # a row never referenced gets exactly zero either way
+    untouched = np.setdiff1d(np.arange(37), np.asarray(ids).ravel())
+    if untouched.size:
+        assert np.all(np.asarray(g_onehot)[untouched] == 0.0)
+
+
+def test_embedding_grad_mode_update_parity():
+    """One full fp32 STAMP train step under embedding_grad_mode='scatter'
+    vs the 'auto' default (one-hot backward at these vocab sizes): the
+    optimizer updates must agree to float-reassociation tolerance."""
+    from mtamrecommender_tpu.config import ExperimentConfig
+    from mtamrecommender_tpu.models.registry import get_model
+    from mtamrecommender_tpu.train.trainer import (make_optimizer,
+                                                   make_train_step)
+    from mtamrecommender_tpu.types import DatasetMeta
+    from tests.helpers import make_batch
+
+    meta = DatasetMeta(user_count=40, item_count=30, category_count=5,
+                       max_seq_len=10)
+    model = get_model("STAMP")
+    batch = make_batch(meta, 16, seed=3)
+    rng = jax.random.PRNGKey(0)
+    results = {}
+    for mode in ("scatter", "auto"):
+        cfg = ExperimentConfig().with_overrides(**{
+            "model.experiment_type": "STAMP", "model.num_units": 16,
+            "model.embedding_grad_mode": mode})
+        params = model.init(jax.random.PRNGKey(1), cfg.model, meta)
+        opt = make_optimizer(cfg.train)
+        step = make_train_step(model, cfg, opt, meta.item_vocab)
+        new_params, _, metrics = step(params, opt.init(params), batch, rng)
+        results[mode] = (new_params, metrics)
+    pa, ma = results["auto"]
+    ps, ms = results["scatter"]
+    np.testing.assert_allclose(float(ma["loss"]), float(ms["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6), pa, ps)
