@@ -174,16 +174,52 @@ def check_readout(jnp, jax):
     return worst_all
 
 
+def check_dtable(jnp, jax):
+    """Tiled-one-hot dtable backward kernel vs XLA scatter-add, at the
+    headline shapes (V=3840 item table, 12.8k ids) in f32 and bf16."""
+    from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
+    worst_all = 0.0
+    for dtype, V, n in ((jnp.float32, 3840, 12800),
+                        (jnp.bfloat16, 3840, 12800),
+                        (jnp.float32, 130, 3000)):     # ragged vocab tail
+        d = 128
+        r = np.random.RandomState(3)
+        table = jnp.asarray(r.randn(V, d).astype(np.float32)).astype(dtype)
+        ids = jnp.asarray(r.randint(0, V, (n,)).astype(np.int32))
+        w = jnp.asarray(r.randn(n, d).astype(np.float32)).astype(dtype)
+
+        def loss(gather_fn, t):
+            return jnp.sum((gather_fn(t, ids) * w).astype(jnp.float32))
+
+        g_k = jax.jit(jax.grad(lambda t: loss(ek.take_dtable, t)))(table)
+        g_ref = jax.jit(jax.grad(
+            lambda t: loss(lambda tb, i: jnp.take(tb, i, axis=0), t)))(table)
+        g_k32, g_r32 = g_k.astype(jnp.float32), g_ref.astype(jnp.float32)
+        worst = float(jnp.max(jnp.abs(g_k32 - g_r32))
+                      / (jnp.max(jnp.abs(g_r32)) + 1e-8))
+        worst_all = max(worst_all, worst)
+        print(f"dtable {jnp.dtype(dtype).name} V={V} n={n}: worst rel "
+              f"grad diff {worst:.2e}")
+        # bf16: the kernel accumulates in f32 and rounds once where the
+        # scatter reference rounds per duplicate-id add — the kernel is
+        # the MORE accurate side, so allow bf16-epsilon-scale disagreement
+        assert worst < (2e-2 if dtype == jnp.bfloat16 else 1e-5), \
+            (str(dtype), worst)
+    return worst_all
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
     if jax.default_backend() != "tpu":
         print("WARNING: not on TPU — this runs interpret mode and cannot "
               "catch Mosaic-only bugs")
-    check_gru(jnp, jax)
-    check_attention(jnp, jax)
-    check_readout(jnp, jax)
-    print("hw_parity OK")
+    checks = {"gru": check_gru, "attention": check_attention,
+              "readout": check_readout, "dtable": check_dtable}
+    names = sys.argv[1:] or list(checks)
+    for name in names:
+        checks[name](jnp, jax)
+    print("hw_parity OK:", " ".join(names))
     return 0
 
 

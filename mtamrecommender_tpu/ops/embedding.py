@@ -67,6 +67,16 @@ def init_behavior_embedding(rng: jax.Array, meta: DatasetMeta, num_units: int,
 # (one-hot accumulates in f32 and rounds once; scatter rounds per add) —
 # parity pinned in tests/test_ops.py.
 ONEHOT_BWD_MAX_VOCAB = 4096
+# materialization budget for the jnp one-hot (n_ids * vocab elements):
+# at the headline shapes 12.8k x 3840 = 49M (~98 MB bf16) still wins; a
+# long-history step (131k ids) would build a ~1 GB one-hot — beyond
+# this, route the pallas dtable kernel (which builds tiles in VMEM) or
+# fall back to scatter
+ONEHOT_BWD_MAX_ELEMS = 1 << 26
+# per-call pallas staging loses to XLA's fused one-hot+dot at small n
+# (measured: STAMP 65.2 vs 45.3 ms/100 at 12.8k ids — steps_r5dtable);
+# the kernel engages where the one-hot materialization stops fitting
+DTABLE_KERNEL_MIN_IDS = 1 << 15
 _GRAD_MODE = "auto"     # auto | scatter | onehot (trace-time knob)
 
 
@@ -90,41 +100,63 @@ def _take_oh_bwd(res, ct):
     ids, vocab = res
     flat_ct = ct.reshape(-1, ct.shape[-1])
     oh = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=flat_ct.dtype)
+    # f32 cotangents: HIGHEST, or the TPU MXU rounds them to bf16 in a
+    # single pass (~2e-3 rel grad drift vs scatter-add — measured on the
+    # dtable kernel, same mechanism); the one-hot operand is exact.
+    precision = (jax.lax.Precision.HIGHEST
+                 if flat_ct.dtype == jnp.float32 else None)
     dtable = jnp.matmul(oh.T, flat_ct,
-                        preferred_element_type=jnp.float32
-                        ).astype(flat_ct.dtype)
+                        preferred_element_type=jnp.float32,
+                        precision=precision).astype(flat_ct.dtype)
     return dtable, None
 
 
 _take_onehot_bwd.defvjp(_take_oh_fwd, _take_oh_bwd)
 
 
-def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+def gather_rows(table: jax.Array, ids: jax.Array,
+                use_pallas: bool = False) -> jax.Array:
     """Table lookup.  Inside a `parallel.embedding_shard.engine_scope`
     (entered by dist_trainer while tracing a sharded step with
     MeshConfig.embedding_engine != 'gspmd') the lookup routes through the
     explicit shard_map engine; otherwise jnp.take — with the backward
-    routed per _GRAD_MODE (see above), and GSPMD free to partition
-    either form from the sharding annotations."""
+    routed per _GRAD_MODE (see above).  With ``use_pallas`` (and the
+    'embedding' pallas scope) the backward upgrades from the jnp one-hot
+    matmul to the tiled-one-hot pallas kernel
+    (ops/pallas/embedding_kernel.take_dtable), which never materializes
+    the [n, V] one-hot in HBM."""
     from mtamrecommender_tpu.parallel import embedding_shard as es
     engine = es.active_gather()
     if engine is not None:
         return engine(table, ids)
-    if _GRAD_MODE == "onehot" or (_GRAD_MODE == "auto"
-                                  and table.shape[0] <= ONEHOT_BWD_MAX_VOCAB):
-        return _take_onehot_bwd(table, ids)
+    vocab = table.shape[0]
+    mxu_ok = _GRAD_MODE == "onehot" or (
+        _GRAD_MODE == "auto" and vocab <= ONEHOT_BWD_MAX_VOCAB)
+    if mxu_ok:
+        kernel_on = False
+        if use_pallas:
+            from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
+            kernel_on = pallas_flags.enabled("embedding")
+        if ids.size * vocab <= ONEHOT_BWD_MAX_ELEMS and (
+                not kernel_on or ids.size < DTABLE_KERNEL_MIN_IDS):
+            return _take_onehot_bwd(table, ids)
+        if kernel_on:
+            from mtamrecommender_tpu.ops.pallas import embedding_kernel
+            return embedding_kernel.take_dtable(table, ids)
     return jnp.take(table, ids, axis=0)
 
 
 def behavior_embedding(params: Params, batch: Batch,
-                       gather=gather_rows,
+                       gather=None,
                        use_pallas: bool = False) -> EmbeddedBatch:
-    # NOTE: use_pallas deliberately does NOT route the lookups through
-    # ops/pallas/embedding_kernel.gather — XLA's fused gather is already
-    # at HBM roofline for d=128 rows, and the per-row-DMA kernel is a
-    # demonstration of the primitive, not a win at these shapes.  Pass
-    # gather=embedding_kernel.gather explicitly to use it.
-    del use_pallas
+    # NOTE: use_pallas routes the lookup BACKWARD through the tiled
+    # dtable kernel (see gather_rows); the forward stays XLA's fused
+    # gather, which is already at HBM roofline for d=128 rows (the
+    # per-row-DMA demonstration kernel ops/pallas/embedding_kernel.gather
+    # is not a win at these shapes — pass gather=embedding_kernel.gather
+    # explicitly to use it).
+    if gather is None:
+        gather = lambda t, i: gather_rows(t, i, use_pallas=use_pallas)  # noqa: E731
     user_emb = gather(params["user_table"], batch.user_id)
     item_emb = gather(params["item_table"], batch.items)
     cat_emb = gather(params["cat_table"], batch.cats)

@@ -140,3 +140,89 @@ def _gather_bwd(residuals, g):
 
 
 gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ------------------------------------------------------- dtable (fused bwd)
+#
+# dtable[v, :] = sum_n [ids[n] == v] * ct[n, :] — the embedding-table
+# backward.  XLA's scatter-add lowers to a SERIAL per-index loop on TPU
+# (measured as ~half the STAMP framework floor,
+# benchmarks/results/floor_r5.json); the jnp one-hot^T @ ct rewrite
+# (ops/embedding._take_onehot_bwd) fixes that but must MATERIALIZE the
+# [n, V] one-hot in HBM because XLA cannot fuse producers into dot
+# operands (~98 MB round-trip at the headline shapes).  This kernel
+# builds the one-hot TILES in VMEM instead: grid over [TILE_V]-row
+# output tiles x [CHUNK_N]-id chunks, each step comparing the chunk's
+# ids against the tile's row range (VPU) and contracting on the MXU with
+# f32 accumulation.  The cotangent chunk stays VMEM-resident; nothing
+# [n, V]-sized ever exists.
+
+TILE_V = 128     # output rows per grid step (lane-dim aligned)
+CHUNK_N = 2048   # ids per grid step (bounds VMEM at long history lengths)
+
+
+def _dtable_kernel(ids_ref, ct_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        # zero-init in EVERY mode: hardware gives uninitialized output
+        # blocks (interpret mode zero-fills — do not rely on it)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    t = pl.program_id(0)
+    rows = t * TILE_V + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_V), 1)
+    onehot = (ids_ref[...] == rows).astype(ct_ref.dtype)     # [CHUNK_N, TILE_V]
+    # f32 cotangents: force HIGHEST or the MXU rounds them to bf16 in a
+    # single pass (measured 1.8e-3 rel grad drift vs scatter); the
+    # one-hot operand is exact either way.  bf16 cotangents single-pass.
+    precision = (jax.lax.Precision.HIGHEST
+                 if ct_ref.dtype == jnp.float32 else None)
+    out_ref[...] += jax.lax.dot_general(
+        onehot, ct_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("vocab",))
+def _dtable_impl(ct: jax.Array, flat_ids: jax.Array, vocab: int) -> jax.Array:
+    n, d = ct.shape
+    v_pad = -(-vocab // TILE_V) * TILE_V
+    n_pad = -(-n // CHUNK_N) * CHUNK_N
+    if n_pad != n:
+        # pad ids with -1 (matches no tile row) and cts with zeros
+        flat_ids = jnp.concatenate(
+            [flat_ids, jnp.full((n_pad - n,), -1, jnp.int32)])
+        ct = jnp.concatenate([ct, jnp.zeros((n_pad - n, d), ct.dtype)])
+    out = pl.pallas_call(
+        _dtable_kernel,
+        grid=(v_pad // TILE_V, n_pad // CHUNK_N),
+        in_specs=[
+            pl.BlockSpec((CHUNK_N, 1), lambda t, k: (k, 0)),
+            pl.BlockSpec((CHUNK_N, d), lambda t, k: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_V, d), lambda t, k: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((v_pad, d), ct.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(flat_ids.astype(jnp.int32)[:, None], ct)
+    return out[:vocab] if v_pad != vocab else out
+
+
+@jax.custom_vjp
+def take_dtable(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """jnp.take forward (XLA's fused gather is near HBM roofline);
+    backward = the tiled one-hot dtable kernel above."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_dtable_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _take_dtable_bwd(res, ct):
+    ids, vocab = res
+    d = ct.shape[-1]
+    return _dtable_impl(ct.reshape(-1, d), ids.reshape(-1), vocab), None
+
+
+take_dtable.defvjp(_take_dtable_fwd, _take_dtable_bwd)

@@ -10,12 +10,13 @@ Set via models/base._apply_trace_knobs at trace time, like scan_unroll.
 
 from __future__ import annotations
 
-_ALL = frozenset({"gru", "attention"})
+_ALL = frozenset({"gru", "attention", "embedding"})
 _scope = _ALL
 
 
 def set_scope(spec: str) -> None:
-    """spec: 'all' or a comma-separated subset of {gru, attention}."""
+    """spec: 'all' or a comma-separated subset of {gru, attention,
+    embedding}."""
     global _scope
     if spec == "all":
         _scope = _ALL

@@ -1,5 +1,5 @@
 """Worker for the two-process jax.distributed CPU smoke
-(tests/test_dist_smoke.py; VERDICT.md r2 item 10).
+(tests/test_dist_smoke.py; VERDICT.md r2 item 10 + r4 item 6).
 
 Each process brings up the process group via
 parallel.dist_trainer.initialize_distributed (Gloo collectives on CPU),
@@ -8,13 +8,22 @@ mesh spanning both processes, and runs ONE sharded MTAM optimizer step
 with row-sharded (EP) tables.  Prints `DIST_LOSS <value>` for the parent
 test to compare across processes and against the single-process value.
 
-Usage: python dist_smoke_worker.py <process_id> <num_processes> <port>
+With a 4th argument (a shared checkpoint dir) the worker instead runs
+the multi-host elastic-recovery drill: SIX sharded optimizer steps with
+an orbax save after step 3, then a restore of that checkpoint ACROSS
+BOTH PROCESSES into the (by then step-6) state and a re-run of steps
+4-6 — the resumed losses must be bit-identical to the uninterrupted
+trajectory.  Prints `RESUME_LOSSES a=[...] b=[...]`.
+
+Usage: python dist_smoke_worker.py <process_id> <num_processes> <port> \
+           [ckpt_dir]
 """
 
 import os
 import sys
 
 proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2")
 
@@ -61,6 +70,39 @@ o_pl = jax.device_put(opt.init(params),
 batch = shard_lib.place_batch(mesh, cfg.mesh, make_batch(meta, 8, seed=0))
 
 step = make_sharded_train_step(mdef, cfg, opt, mesh, placed, meta.item_vocab)
-new_p, _, metrics = step(placed, o_pl, batch, jax.random.PRNGKey(3))
-loss = float(np.asarray(jax.device_get(metrics["loss"])))
-print(f"DIST_LOSS {loss:.6f}", flush=True)
+
+if ckpt_dir is None:
+    new_p, _, metrics = step(placed, o_pl, batch, jax.random.PRNGKey(3))
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    print(f"DIST_LOSS {loss:.6f}", flush=True)
+else:
+    # ---- multi-step + save-in-the-middle + cross-process exact resume
+    from mtamrecommender_tpu.train.checkpoint import Checkpointer
+    from mtamrecommender_tpu.train.trainer import TrainState
+
+    def batches(i):
+        return shard_lib.place_batch(mesh, cfg.mesh,
+                                     make_batch(meta, 8, seed=100 + i))
+
+    def run(p, o, lo, hi):
+        losses = []
+        for i in range(lo, hi):
+            p, o, m = step(p, o, batches(i), jax.random.PRNGKey(10 + i))
+            losses.append(float(np.asarray(jax.device_get(m["loss"]))))
+        return p, o, losses
+
+    # uninterrupted trajectory, saving at the step-3 boundary
+    p, o, losses_a = run(placed, o_pl, 0, 3)
+    ckpt = Checkpointer(ckpt_dir)
+    ckpt.save(TrainState(params=p, opt_state=o, step=3), wait=True)
+    p6, o6, tail_a = run(p, o, 3, 6)
+    losses_a += tail_a
+
+    # restore the step-3 checkpoint across both processes INTO the
+    # step-6 state's buffers (template supplies shardings; values come
+    # from disk) and replay steps 4-6
+    restored = ckpt.restore(TrainState(params=p6, opt_state=o6, step=0))
+    ckpt.close()
+    assert restored.step == 3, restored.step
+    _, _, tail_b = run(restored.params, restored.opt_state, 3, 6)
+    print(f"RESUME_LOSSES a={losses_a!r} b={tail_b!r}", flush=True)

@@ -71,3 +71,46 @@ def test_two_process_distributed_step(devices):
     ref = compute_loss(mdef, params, cfg.model, make_batch(meta, 8, seed=0),
                        True, jax.random.PRNGKey(3), meta.item_vocab)
     np.testing.assert_allclose(losses[0], float(ref["loss"]), atol=2e-5)
+
+
+def test_two_process_superstep_resume_parity(devices, tmp_path):
+    """Multi-host elastic recovery (VERDICT r4 item 6): two REAL
+    processes run 6 sharded optimizer steps with an orbax save after
+    step 3, restore that checkpoint across both processes, and replay
+    steps 4-6 — the resumed loss trajectory must be BIT-IDENTICAL to the
+    uninterrupted one, in both processes."""
+    import ast
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "dist_smoke_worker.py")
+    port = _free_port()
+    ckpt_dir = str(tmp_path / "dist_ckpt")
+    env = {**os.environ, "PYTHONPATH": repo + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), ckpt_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed resume smoke timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    parsed = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith("RESUME_LOSSES")]
+        assert lines, out[-3000:]
+        a = ast.literal_eval(lines[-1].split("a=", 1)[1].split(" b=")[0])
+        b = ast.literal_eval(lines[-1].split("b=", 1)[1])
+        parsed.append((a, b))
+    for a, b in parsed:
+        assert len(a) == 6 and len(b) == 3
+        assert a[3:] == b, (a, b)          # resume == uninterrupted, exactly
+    assert parsed[0] == parsed[1], parsed  # both processes agree

@@ -310,6 +310,43 @@ def test_embedding_gather_scatter_parity():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_dtable_kernel_matches_scatter_grad():
+    """take_dtable's tiled-one-hot backward == XLA's scatter-add grad,
+    across the id-chunked path (n > CHUNK_N), ragged vocab (pad+slice)
+    and duplicate ids."""
+    rng = np.random.RandomState(1)
+    for V, n_ids in ((40, 25), (130, 3000)):   # ragged V; n > CHUNK_N via
+        d = 16                                 # monkeypatched chunk below
+        table = jnp.asarray(rng.randn(V, d).astype(np.float32))
+        ids = jnp.asarray(rng.randint(0, V, (n_ids,)).astype(np.int32))
+        w = jnp.asarray(rng.randn(n_ids, d).astype(np.float32))
+
+        def loss(gather_fn, t):
+            return jnp.sum(jnp.tanh(gather_fn(t, ids)) * w)
+
+        g_k = jax.grad(lambda t: loss(ek.take_dtable, t))(table)
+        g_ref = jax.grad(
+            lambda t: loss(lambda tb, i: jnp.take(tb, i, axis=0), t))(table)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dtable_kernel_chunked_accumulation(monkeypatch):
+    """Force multiple id-chunks per vocab tile so the in-kernel
+    zero-init + accumulate path is exercised explicitly."""
+    monkeypatch.setattr(ek, "CHUNK_N", 64)
+    rng = np.random.RandomState(2)
+    V, d, n = 130, 8, 200                      # 4 chunks, ragged tail
+    table = jnp.asarray(rng.randn(V, d).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (n,)).astype(np.int32))
+    w = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    g_k = jax.grad(lambda t: jnp.sum(ek.take_dtable(t, ids) * w))(table)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(jnp.take(t, ids, axis=0) * w))(table)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 # ------------------------------------------------------------ end-to-end
 
 @pytest.mark.parametrize("name", ["MTAM", "Ti_Self_Attention_Model",
