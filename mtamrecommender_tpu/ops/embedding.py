@@ -73,10 +73,6 @@ ONEHOT_BWD_MAX_VOCAB = 4096
 # this, route the pallas dtable kernel (which builds tiles in VMEM) or
 # fall back to scatter
 ONEHOT_BWD_MAX_ELEMS = 1 << 26
-# per-call pallas staging loses to XLA's fused one-hot+dot at small n
-# (measured: STAMP 65.2 vs 45.3 ms/100 at 12.8k ids — steps_r5dtable);
-# the kernel engages where the one-hot materialization stops fitting
-DTABLE_KERNEL_MIN_IDS = 1 << 15
 _GRAD_MODE = "auto"     # auto | scatter | onehot (trace-time knob)
 
 
@@ -133,16 +129,16 @@ def gather_rows(table: jax.Array, ids: jax.Array,
     mxu_ok = _GRAD_MODE == "onehot" or (
         _GRAD_MODE == "auto" and vocab <= ONEHOT_BWD_MAX_VOCAB)
     if mxu_ok:
-        kernel_on = False
+        if ids.size * vocab <= ONEHOT_BWD_MAX_ELEMS:
+            # the jnp one-hot beats BOTH scatter and the pallas kernel
+            # wherever its materialization fits (floor_r5 / steps_r5dtable
+            # / long_history_r5*512 measurements)
+            return _take_onehot_bwd(table, ids)
         if use_pallas:
             from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
-            kernel_on = pallas_flags.enabled("embedding")
-        if ids.size * vocab <= ONEHOT_BWD_MAX_ELEMS and (
-                not kernel_on or ids.size < DTABLE_KERNEL_MIN_IDS):
-            return _take_onehot_bwd(table, ids)
-        if kernel_on:
-            from mtamrecommender_tpu.ops.pallas import embedding_kernel
-            return embedding_kernel.take_dtable(table, ids)
+            if pallas_flags.enabled("embedding"):
+                from mtamrecommender_tpu.ops.pallas import embedding_kernel
+                return embedding_kernel.take_dtable(table, ids)
     return jnp.take(table, ids, axis=0)
 
 

@@ -50,6 +50,17 @@ _TILE_B_FWD = 64
 _TILE_B_BWD = 128
 _TIME_CHUNK = 8
 
+# whole-kernel VMEM ceiling for the FORWARD's whole-sequence blocks
+# (gate_x [L,TB,2u] + cand_x/e1/e2/out [L,TB,u] ~= 6*L*TB*u*itemsize).
+# v5e compiles fail past ~128 MB total vmem (measured: L=2048 bf16 asked
+# for 160 MB); oversize sequences fall back to the jnp scan in
+# ops/time_gru._pallas_gru_ok.
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def seq_supported(seq_len: int, units: int, itemsize: int) -> bool:
+    return 6 * seq_len * _TILE_B_FWD * units * itemsize <= _VMEM_BUDGET
+
 
 def _gru_scan_kernel(mode: str, seq_len: int, units: int,
                      gx_ref, cx_ref, e1_ref, e2_ref, len_ref, h0_ref,

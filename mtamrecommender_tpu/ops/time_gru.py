@@ -34,6 +34,18 @@ def _pallas_gru_enabled() -> bool:
     return flags.enabled("gru")
 
 
+def _pallas_gru_ok(gate_x: jax.Array) -> bool:
+    """Scope enabled AND the whole-sequence forward fits the kernel's
+    VMEM budget (gru_kernel.seq_supported) — at L=2048 the [L,TB,*]
+    blocks exceed v5e VMEM and Mosaic fails the compile, so oversize
+    sequences fall back to the jnp scan."""
+    if not _pallas_gru_enabled():
+        return False
+    from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
+    return gk.seq_supported(gate_x.shape[1], gate_x.shape[2] // 2,
+                            gate_x.dtype.itemsize)
+
+
 def _pallas_scan(mode: str, params: Params, gate_x, cand_x, e1, e2,
                  lengths, h0):
     from mtamrecommender_tpu.ops.pallas import gru_kernel as gk
@@ -133,7 +145,7 @@ def gru_net(params: Params, inputs: jax.Array, lengths: jax.Array,
     cand_x = jnp.einsum("bld,df->blf", inputs, params["w_cand_x"])
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
-    if use_pallas and _pallas_gru_enabled():
+    if use_pallas and _pallas_gru_ok(gate_x):
         z = jnp.zeros_like(cand_x)
         return _pallas_scan("plain", params, gate_x, cand_x, z, z, lengths, h0)
     xs = (jnp.transpose(gate_x, (1, 0, 2)), jnp.transpose(cand_x, (1, 0, 2)))
@@ -238,7 +250,7 @@ def tseqrec_net(params: Params, inputs: jax.Array, time_last: jax.Array,
     cand_x = jnp.einsum("bld,df->blf", inputs, params["w_cand_x"])
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
-    if use_pallas and _pallas_gru_enabled():
+    if use_pallas and _pallas_gru_ok(gate_x):
         return _pallas_scan("tseqrec", params, gate_x, cand_x, sig_now,
                             sig_last, lengths, h0)
     xs = tuple(jnp.transpose(a, (1, 0, 2))
@@ -301,7 +313,7 @@ def tgru_net(params: Params, inputs: jax.Array, time_last: jax.Array,
                         + params["time_b1"])
     h0 = (initial_state if initial_state is not None
           else jnp.zeros((batch, units), inputs.dtype))
-    if use_pallas and _pallas_gru_enabled():
+    if use_pallas and _pallas_gru_ok(gate_x):
         return _pallas_scan("tgru", params, gate_x, cand_x, xw, score,
                             lengths, h0)
     xs = tuple(jnp.transpose(a, (1, 0, 2)) for a in (gate_x, cand_x, xw, score))
