@@ -208,6 +208,61 @@ def check_dtable(jnp, jax):
     return worst_all
 
 
+def check_chain(jnp, jax):
+    """Round-5 chain readout kernel (readout_chain_kernel.py) vs the jnp
+    hop-batched readout at headline shapes, values + grads, both gate
+    modes, batch sizes spanning the _TILE_B=128 pad/tile boundary."""
+    from mtamrecommender_tpu.ops import attention as att
+    from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
+    att.READOUT_CHAIN_OPT_IN = True      # opt-in kernel: forced for parity
+    worst_all = 0.0
+    for gate_mode, n_hops, B in (("positional", 3, 256),
+                                 ("positional", 3, 100),
+                                 ("scalar", 2, 256)):
+        L, d = 50, 128
+        r = np.random.RandomState(5)
+        mem = jnp.asarray(r.randn(B, L, d).astype(np.float32) * 0.5)
+        t = jnp.asarray(np.sort(r.rand(B, L) * 500, 1).astype(np.float32))
+        lengths = jnp.asarray(r.randint(2, L + 1, B).astype(np.int32))
+        blocks = att.init_attention_stack(
+            jax.random.PRNGKey(9), n_hops, d, kind="time", t_q_len=1,
+            t_k_len=L, gate_mode=gate_mode)
+        dec = mem[:, :1, :] * 0.3
+        tq = t[:, -1:]
+        ones = jnp.ones((B,), jnp.int32)
+        probe = jnp.cos(jnp.arange(d, dtype=jnp.float32))
+
+        def loss(bl, m, dq, use_kernel):
+            pallas_flags.set_scope("attention" if use_kernel else "gru")
+            try:
+                out = att.vanilla_attention_stack(
+                    bl, m, dq, lengths, ones, kind="time", num_heads=1,
+                    dropout_rate=0.0, train=True, t_queries=tq, t_keys=t,
+                    use_pallas=use_kernel, fused=True)
+            finally:
+                pallas_flags.set_scope("all")
+            return jnp.sum(out * probe)
+
+        g_ref = jax.jit(jax.grad(lambda a, b, c: loss(a, b, c, False),
+                                 argnums=(0, 1, 2)))(blocks, mem, dec)
+        g_k = jax.jit(jax.grad(lambda a, b, c: loss(a, b, c, True),
+                               argnums=(0, 1, 2)))(blocks, mem, dec)
+        flat_k, _ = jax.tree_util.tree_flatten_with_path(g_k)
+        flat_r = jax.tree_util.tree_leaves(g_ref)
+        worst, worst_path = 0.0, None
+        for (path, a), b in zip(flat_k, flat_r):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-8))
+            if rel > worst:
+                worst, worst_path = rel, jax.tree_util.keystr(path)
+        worst_all = max(worst_all, worst)
+        print(f"chain {gate_mode} n={n_hops} B={B}: worst rel grad diff "
+              f"{worst:.2e} at {worst_path}")
+        # same tanh'-saturation mechanism as the fused readout kernel
+        # bounds the time_input_w leaf; non-tanh' leaves sit <= 1e-3
+        assert worst < 5e-2, (gate_mode, worst, worst_path)
+    return worst_all
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -215,7 +270,8 @@ def main() -> int:
         print("WARNING: not on TPU — this runs interpret mode and cannot "
               "catch Mosaic-only bugs")
     checks = {"gru": check_gru, "attention": check_attention,
-              "readout": check_readout, "dtable": check_dtable}
+              "readout": check_readout, "dtable": check_dtable,
+              "chain": check_chain}
     names = sys.argv[1:] or list(checks)
     for name in names:
         checks[name](jnp, jax)

@@ -256,6 +256,22 @@ def tisas_multihead_attention(params: Params, queries: jax.Array,
 # Inference (no dropout) routes at any supported length as before.
 DROPOUT_KERNEL_MIN_KEYS = 256
 
+# Round-5 fourth (and final) readout-kernel attempt: the sequential-chain
+# kernel (ops/pallas/readout_chain_kernel.py) keeps the hop-batched
+# projections on XLA's MXU path and fuses ONLY the ~15-op/hop query chain
+# + hand-written backward into one pallas call per direction.  MEASURED
+# LOSS at the reference shapes: MTAM 123.2 vs 92.9 ms per 100-step
+# superstep call (steps_r5chain.json) — the two calls' operand staging
+# (~29 MB of k/v/tprec in, ~29 MB of their cotangents out per step)
+# exceeds the dispatch overhead they remove, the same economics that
+# sank the three previous structures (per-hop call r3; whole-readout
+# with in-kernel projections and its tile-vectorized rework r4).  Four
+# structurally distinct kernels have now lost to XLA's in-scan fusion at
+# L=50; the hop-batched jnp readout IS the shipping fast path, and the
+# chain kernel stays opt-in (hardware grad parity <=8e-4, the tightest
+# of the readout kernels) for shapes someone wants to re-measure.
+READOUT_CHAIN_OPT_IN = False
+
 # Same economics for the fused multi-hop readout kernel
 # (ops/pallas/readout_kernel.py): at L=50 the hop-batched jnp readout wins
 # (106.7 vs 192.1 ms per 100-step MTAM superstep call, steps_r4 series);
@@ -411,7 +427,8 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
                                 dropout_rate: float, train: bool,
                                 rng: Optional[jax.Array],
                                 t_queries: Optional[jax.Array],
-                                t_keys: Optional[jax.Array]) -> jax.Array:
+                                t_keys: Optional[jax.Array],
+                                use_pallas: bool = False) -> jax.Array:
     """The num_blocks Tq=1 decoder hops (MTAM's NextItemDecoder readout,
     MTAMRec_model.py:84-91) with the memory-side work batched ACROSS hops.
 
@@ -434,6 +451,12 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
     tk = enc.shape[1]
     dh = d // num_heads
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    use_chain_kernel = False
+    if (READOUT_CHAIN_OPT_IN and kind == "time" and num_heads == 1
+            and use_pallas and _pallas_attention_enabled()):
+        from mtamrecommender_tpu.ops.pallas import readout_chain_kernel as rc
+        use_chain_kernel = rc.supported(tk, num_heads)
 
     # ---- hop-batched memory-side precompute (the FLOPs live here) ----
     k_all = jax.nn.relu(jnp.einsum("bld,nde->nble", enc, stacked["k"]["w"])
@@ -458,6 +481,25 @@ def _fused_single_query_readout(blocks: List[Params], enc: jax.Array,
                          + _bc(stacked["time_input_b1"]))            # [n,B,1,Tk]
         gate_part = (_bc(stacked["time_output_w1"]) * decay
                      + _bc(stacked["time_output_b"]))                # [n,B,1,Tk]
+        if use_chain_kernel:
+            # round-5 chain kernel: the sequential query chain (and its
+            # hand-written backward) fuse into one pallas call per
+            # direction while the hop-batched projections above stay on
+            # XLA's MXU path — cotangents for k/v/tprec/gate_part leave
+            # the kernel as plain outputs (readout_chain_kernel.py)
+            from mtamrecommender_tpu.ops.pallas import \
+                readout_chain_kernel as rc
+            wo2 = stacked["time_output_w2"]
+            wo2_rows = (wo2.reshape(n, tk) if wo2.ndim > 1
+                        else jnp.broadcast_to(wo2[:, None], (n, tk)))
+            return rc.readout_chain(
+                dec, key_len, (query_len > 0).astype(jnp.float32),
+                k_all.reshape(n, b_sz, tk, d),
+                v_all.reshape(n, b_sz, tk, d),
+                tprec, gate_part[:, :, 0, :], wo2_rows,
+                stacked["q"]["w"], stacked["q"]["b"],
+                stacked["ln"]["gamma"], stacked["ln"]["beta"]
+            ).astype(dec.dtype)
     kmask = layers.sequence_mask(key_len, tk)[:, None, :]
     # per-hop query mask (the _finish qmask at Tq=1): a row with
     # query_len == 0 keeps only its residual+normalize each hop
@@ -567,7 +609,8 @@ def vanilla_attention_stack(blocks: List[Params], enc: jax.Array,
             return _fused_single_query_readout(
                 blocks, enc, dec, key_len, query_len, kind=kind,
                 num_heads=num_heads, dropout_rate=dropout_rate, train=train,
-                rng=rng, t_queries=t_queries, t_keys=t_keys)
+                rng=rng, t_queries=t_queries, t_keys=t_keys,
+                use_pallas=use_pallas)
     for i, params in enumerate(blocks):
         block_rng = None if rng is None else jax.random.fold_in(rng, i)
         if kind == "plain":

@@ -422,3 +422,82 @@ def test_plain_mha_kernel_parity_eval(att_inputs):
 # pin is superseded by test_fused_readout_kernel_in_mtam_training: scope
 # 'all' now routes MTAM's readout through the fused multi-hop kernel, so
 # the losses are close rather than bit-equal)
+
+
+def test_readout_chain_kernel_parity(monkeypatch):
+    """Round-5 chain kernel (readout_chain_kernel.py): values AND grads
+    wrt memory/query/params match the jnp hop-batched readout at the
+    reference shape (L=50 < MAX_KEYS) for positional and scalar gates.
+    The kernel is opt-in (measured loss at L=50, steps_r5chain.json) —
+    forced on here to pin its correctness."""
+    from mtamrecommender_tpu.ops.pallas import flags as pallas_flags
+    monkeypatch.setattr(att, "READOUT_CHAIN_OPT_IN", True)
+
+    for gate_mode, n_hops in (("positional", 3), ("scalar", 2)):
+        B, L, d = 12, 50, 16
+        r = np.random.RandomState(4)
+        mem = jnp.asarray(r.randn(B, L, d).astype(np.float32) * 0.5)
+        t = jnp.asarray(np.sort(r.rand(B, L) * 500, 1).astype(np.float32))
+        lengths = jnp.asarray(r.randint(2, L + 1, B).astype(np.int32))
+        blocks = att.init_attention_stack(
+            jax.random.PRNGKey(9), n_hops, d, kind="time", t_q_len=1,
+            t_k_len=L, gate_mode=gate_mode)
+        dec = mem[:, :1, :] * 0.3
+        tq = t[:, -1:]
+        ones = jnp.ones((B,), jnp.int32)
+        probe = jnp.cos(jnp.arange(d, dtype=jnp.float32))
+
+        def loss(bl, m, dq, use_kernel):
+            pallas_flags.set_scope("attention" if use_kernel else "gru")
+            try:
+                out = att.vanilla_attention_stack(
+                    bl, m, dq, lengths, ones, kind="time", num_heads=1,
+                    dropout_rate=0.0, train=True, t_queries=tq, t_keys=t,
+                    use_pallas=use_kernel, fused=True)
+            finally:
+                pallas_flags.set_scope("all")
+            return jnp.sum(out * probe)
+
+        v_ref = float(loss(blocks, mem, dec, False))
+        v_k = float(loss(blocks, mem, dec, True))
+        np.testing.assert_allclose(v_k, v_ref, rtol=1e-5, atol=1e-5)
+        g_ref = jax.grad(lambda a, b, c: loss(a, b, c, False),
+                         argnums=(0, 1, 2))(blocks, mem, dec)
+        g_k = jax.grad(lambda a, b, c: loss(a, b, c, True),
+                       argnums=(0, 1, 2))(blocks, mem, dec)
+        flat_k, _ = jax.tree_util.tree_flatten_with_path(g_k)
+        flat_r = jax.tree_util.tree_leaves(g_ref)
+        for (path, a), b in zip(flat_k, flat_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"{gate_mode} {jax.tree_util.keystr(path)}")
+
+
+def test_readout_chain_kernel_in_mtam_training(monkeypatch):
+    """Three MTAM train steps through the chain kernel vs the jnp path:
+    same loss trajectory within f32 tolerance (kernel forced on)."""
+    from mtamrecommender_tpu.train.trainer import (make_optimizer,
+                                                   make_train_step)
+    monkeypatch.setattr(att, "READOUT_CHAIN_OPT_IN", True)
+
+    meta = make_meta(item_count=40, max_seq_len=50)
+    batch = make_batch(meta, batch_size=8, seed=2)
+    traj = {}
+    for use_k in (False, True):
+        cfg = ExperimentConfig().with_overrides(**{
+            "model.experiment_type": "MTAM", "model.num_units": 16,
+            "model.num_blocks": 2, "model.dropout": 0.0,
+            "model.use_pallas": use_k,
+            "model.pallas_scope": "attention"})
+        mdef = get_model("MTAM")
+        params = mdef.init(jax.random.PRNGKey(0), cfg.model, meta)
+        opt = make_optimizer(cfg.train)
+        step = make_train_step(mdef, cfg, opt, meta.item_vocab)
+        opt_state = opt.init(params)
+        losses = []
+        for i in range(3):
+            params, opt_state, m = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        traj[use_k] = losses
+    np.testing.assert_allclose(traj[True], traj[False], rtol=1e-5)
