@@ -82,6 +82,13 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=2048)
     ap.add_argument("--items", type=int, default=2000)
     ap.add_argument("--tag", default="r4")
+    ap.add_argument("--model", default="MTAM",
+                    help="any registry model; SASrec at L>=256 exercises "
+                         "the dropout-mode attention kernel end-to-end "
+                         "(VERDICT r4 item 3)")
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override ModelConfig.dropout (default: preset)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use_pallas", action="store_true",
                     help="enable the kernels (readout kernel routes at "
                          "seq_len >= 256; GRU kernel where supported)")
@@ -105,8 +112,10 @@ def main() -> int:
                                              # exclude the compile call
     meta = DatasetMeta(user_count=100, item_count=args.items,
                        category_count=18, max_seq_len=L)
-    cfg = ExperimentConfig().with_overrides(**{
-        "model.experiment_type": "MTAM", "model.num_units": 128,
+    over_drop = {} if args.dropout is None else {
+        "model.dropout": args.dropout}
+    cfg = ExperimentConfig().with_overrides(**over_drop, **{
+        "model.experiment_type": args.model, "model.num_units": 128,
         "model.num_blocks": 3, "model.vocab_pad_multiple": 128,
         "model.compute_dtype": "bfloat16",
         # the point of the run: the length-free gate
@@ -117,9 +126,10 @@ def main() -> int:
     raw = markov_long_batchset(args.rows, L, args.items, 18)
     data = DeviceDataset(**{k: jnp.asarray(v) for k, v in raw.items()})
 
-    model = get_model("MTAM")
-    result = {"seq_len": L, "batch": args.batch, "steps": args.steps,
-              "items": args.items, "gate": "scalar",
+    model = get_model(args.model)
+    result = {"model": args.model, "seq_len": L, "batch": args.batch,
+              "steps": args.steps, "items": args.items, "gate": "scalar",
+              "dropout": args.dropout,
               "backend": jax.default_backend()}
 
     if args.cp:
@@ -165,7 +175,7 @@ def main() -> int:
     else:
         order = jax.device_put(order_np)
 
-    rng = jax.random.PRNGKey(2)
+    rng = jax.random.PRNGKey(2 + args.seed)
     losses = []
     t0 = None
     n_calls = args.steps // cfg.train.steps_per_call

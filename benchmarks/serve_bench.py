@@ -45,6 +45,7 @@ def main() -> int:
     ap.add_argument("--num_units", type=int, default=128)
     ap.add_argument("--batch_sizes", type=int, nargs="+",
                     default=[1, 16, 256])
+    ap.add_argument("--pipeline_depth", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -91,6 +92,53 @@ def main() -> int:
                 rec.batch_from_histories(hists, req)
             collate = (time.time() - t0) / args.iters
             lat = np.asarray(sorted(lat))
+            # ---- pipelined sustained throughput (VERDICT r4 item 4):
+            # the p50 above includes one tunnel round trip PER call
+            # (~60 ms on this backend) because recommend() host-fetches
+            # each result.  A deployed server overlaps calls: dispatch
+            # M scoring calls asynchronously (jax dispatch is async;
+            # same executable, distinct inputs), then fetch all — the
+            # RTT pipelines away and wall/M is the sustained per-call
+            # cost (device time + serialization), the tunnel-independent
+            # figure.  Collation is excluded (measured separately above).
+            M = args.pipeline_depth
+            batches = [rec.batch_from_histories(*make_histories(
+                rng, bs, meta.item_count, meta.category_count,
+                meta.max_seq_len)) for _ in range(8)]
+            fetch_k = min(50 + meta.max_seq_len, meta.item_vocab)
+            _ = np.asarray(rec._score(rec.params, batches[0], k=fetch_k)[0])
+            t0 = time.time()
+            futs = [rec._score(rec.params, batches[i % 8], k=fetch_k)
+                    for i in range(M)]
+            for ids, scores in futs:
+                np.asarray(ids), np.asarray(scores)      # host fetch all
+            sustained = (time.time() - t0) / M
+            # ---- micro-batched: this backend serializes dispatches
+            # (async futures still pay the ~50 ms tunnel turn each — see
+            # pipelined_ms_per_call), so the deployable amortization is
+            # ONE dispatch scoring M stacked request batches (vmap).
+            # wall/M then bounds the true device+serialization cost per
+            # request batch — the tunnel-independent figure.
+            import jax as _jax
+            import jax.numpy as _jnp
+            MB = 16
+            stacked = _jax.tree.map(
+                lambda *xs: _jnp.stack(xs),
+                *(batches[i % 8] for i in range(MB)))
+            try:
+                vscore = _jax.jit(_jax.vmap(
+                    lambda b: rec._score_impl(rec.params, b, fetch_k)))
+                _ = np.asarray(vscore(stacked)[0])       # compile+warm
+                reps = 5
+                t0 = time.time()
+                vfuts = [vscore(stacked) for _i in range(reps)]
+                for ids, scores in vfuts:
+                    np.asarray(ids), np.asarray(scores)  # fetch-sync ALL
+                micro = (time.time() - t0) / (reps * MB)
+            except Exception as exc:   # e.g. vmap over a pallas kernel
+                print(f"microbatch unavailable (use_pallas={use_pallas}, "
+                      f"bs={bs}): {type(exc).__name__}", file=sys.stderr)
+                micro = None
             row = {
                 "use_pallas": use_pallas, "batch": bs, "k": 50,
                 "p50_ms": round(float(lat[len(lat) // 2]) * 1000, 3),
@@ -98,6 +146,12 @@ def main() -> int:
                 "mean_ms": round(float(lat.mean()) * 1000, 3),
                 "collate_ms": round(collate * 1000, 3),
                 "requests_per_s": round(bs / float(lat.mean()), 1),
+                "pipelined_ms_per_call": round(sustained * 1000, 3),
+                "pipelined_requests_per_s": round(bs / sustained, 1),
+                "microbatched_ms_per_call":
+                    None if micro is None else round(micro * 1000, 3),
+                "microbatched_requests_per_s":
+                    None if micro is None else round(bs / micro, 1),
             }
             print(json.dumps(row), flush=True)
             results["rows"].append(row)
