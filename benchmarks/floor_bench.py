@@ -140,6 +140,19 @@ def time_variant(variant: str, calls: int) -> dict:
         _patch_gather(_onehot_gather(max_vocab=1024))
     elif variant == "onehot_all":
         _patch_gather(_onehot_gather(max_vocab=1 << 30))
+    elif variant == "dtable_kernel":
+        # force the pallas tiled-one-hot backward for every table
+        from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
+        _patch_gather(ek.take_dtable)
+    elif variant == "dtable_item":
+        from mtamrecommender_tpu.ops.pallas import embedding_kernel as ek
+
+        def route(table, ids):
+            if table.shape[0] >= 1024:
+                return ek.take_dtable(table, ids)
+            return _onehot_gather(max_vocab=1 << 30)(table, ids)
+
+        _patch_gather(route)
     elif variant == "no_l2":
         orig_l2 = base_mod.l2_of_lookups
 

@@ -159,6 +159,16 @@ gather.defvjp(_gather_fwd, _gather_bwd)
 
 TILE_V = 128     # output rows per grid step (lane-dim aligned)
 CHUNK_N = 2048   # ids per grid step (bounds VMEM at long history lengths)
+# hold the WHOLE id set as one chunk when its cotangent block fits this
+# VMEM budget: the grid shrinks from (V/128)*(n/CHUNK_N) steps to V/128,
+# cutting the per-grid-step overhead that dominates at small n
+_ONE_CHUNK_BYTES = 4 * 1024 * 1024
+
+
+def _chunk_for(n: int, d: int, itemsize: int) -> int:
+    if n * d * itemsize <= _ONE_CHUNK_BYTES:
+        return -(-n // 8) * 8          # one sublane-aligned chunk
+    return CHUNK_N
 
 
 def _dtable_kernel(ids_ref, ct_ref, out_ref):
@@ -188,7 +198,8 @@ def _dtable_kernel(ids_ref, ct_ref, out_ref):
 def _dtable_impl(ct: jax.Array, flat_ids: jax.Array, vocab: int) -> jax.Array:
     n, d = ct.shape
     v_pad = -(-vocab // TILE_V) * TILE_V
-    n_pad = -(-n // CHUNK_N) * CHUNK_N
+    chunk = _chunk_for(n, d, ct.dtype.itemsize)
+    n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         # pad ids with -1 (matches no tile row) and cts with zeros
         flat_ids = jnp.concatenate(
@@ -196,10 +207,10 @@ def _dtable_impl(ct: jax.Array, flat_ids: jax.Array, vocab: int) -> jax.Array:
         ct = jnp.concatenate([ct, jnp.zeros((n_pad - n, d), ct.dtype)])
     out = pl.pallas_call(
         _dtable_kernel,
-        grid=(v_pad // TILE_V, n_pad // CHUNK_N),
+        grid=(v_pad // TILE_V, n_pad // chunk),
         in_specs=[
-            pl.BlockSpec((CHUNK_N, 1), lambda t, k: (k, 0)),
-            pl.BlockSpec((CHUNK_N, d), lambda t, k: (k, 0)),
+            pl.BlockSpec((chunk, 1), lambda t, k: (k, 0)),
+            pl.BlockSpec((chunk, d), lambda t, k: (k, 0)),
         ],
         out_specs=pl.BlockSpec((TILE_V, d), lambda t, k: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((v_pad, d), ct.dtype),

@@ -335,6 +335,7 @@ def test_dtable_kernel_chunked_accumulation(monkeypatch):
     """Force multiple id-chunks per vocab tile so the in-kernel
     zero-init + accumulate path is exercised explicitly."""
     monkeypatch.setattr(ek, "CHUNK_N", 64)
+    monkeypatch.setattr(ek, "_ONE_CHUNK_BYTES", 0)   # force the chunked path
     rng = np.random.RandomState(2)
     V, d, n = 130, 8, 200                      # 4 chunks, ragged tail
     table = jnp.asarray(rng.randn(V, d).astype(np.float32))
