@@ -47,9 +47,11 @@ def _baseline_examples_per_s() -> float:
         return REFERENCE_SHAPED_EXAMPLES_PER_SEC
 
 BATCH = 256
-STEPS_PER_CALL = 200   # one jit call = one lax.scan of 200 optimizer steps
-                       # (measured r4: 251.8k ex/s at 200 steps/call vs
-                       # ~240k at 100; flat at 400)
+STEPS_PER_CALL = 400   # one jit call = one lax.scan of 400 optimizer steps
+                       # (r4 measured 200 ~= 400 at the old 106.7 ms/100
+                       # floor; with the round-5 scatter-free backward the
+                       # per-call overhead fraction doubled, and 400 now
+                       # wins: 302.0k ex/s vs 290.9-296.8k at 200)
 CALLS = 3              # timed superstep calls (600 steps total)
 N_ROWS = 4096          # synthetic dataset rows resident in HBM
 
