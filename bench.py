@@ -52,7 +52,7 @@ STEPS_PER_CALL = 400   # one jit call = one lax.scan of 400 optimizer steps
                        # floor; with the round-5 scatter-free backward the
                        # per-call overhead fraction doubled, and 400 now
                        # wins: 302.0k ex/s vs 290.9-296.8k at 200)
-CALLS = 3              # timed superstep calls (600 steps total)
+CALLS = 3              # timed superstep calls (1200 steps total)
 N_ROWS = 4096          # synthetic dataset rows resident in HBM
 
 

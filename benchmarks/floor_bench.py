@@ -44,32 +44,17 @@ N_ROWS = 4096
 
 
 def _onehot_gather(max_vocab):
-    """jnp.take forward; backward = one-hot matmul (MXU) instead of XLA
-    scatter-add, for tables with vocab <= max_vocab."""
-    import jax
+    """Route vocab<=max_vocab tables through the SHIPPED one-hot backward
+    (ops/embedding._take_onehot_bwd — incl. its f32 Precision.HIGHEST),
+    larger ones through plain jnp.take; used to ablate the routing
+    threshold itself."""
     import jax.numpy as jnp
 
-    @jax.custom_vjp
-    def g(table, ids):
-        return jnp.take(table, ids, axis=0)
-
-    def fwd(table, ids):
-        return jnp.take(table, ids, axis=0), (ids, table.shape[0])
-
-    def bwd(res, ct):
-        ids, vocab = res
-        flat_ct = ct.reshape(-1, ct.shape[-1])
-        oh = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=flat_ct.dtype)
-        dtab = jnp.matmul(oh.T, flat_ct,
-                          preferred_element_type=jnp.float32
-                          ).astype(flat_ct.dtype)
-        return dtab, None
-
-    g.defvjp(fwd, bwd)
+    from mtamrecommender_tpu.ops import embedding as emb_ops
 
     def route(table, ids):
         if table.shape[0] <= max_vocab:
-            return g(table, ids)
+            return emb_ops._take_onehot_bwd(table, ids)
         return jnp.take(table, ids, axis=0)
 
     return route

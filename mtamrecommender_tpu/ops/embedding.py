@@ -126,9 +126,12 @@ def gather_rows(table: jax.Array, ids: jax.Array,
     if engine is not None:
         return engine(table, ids)
     vocab = table.shape[0]
-    mxu_ok = _GRAD_MODE == "onehot" or (
-        _GRAD_MODE == "auto" and vocab <= ONEHOT_BWD_MAX_VOCAB)
-    if mxu_ok:
+    if _GRAD_MODE == "onehot":
+        # explicit forcing bypasses the size budget: the user asked for
+        # the MXU backward; a silent scatter fallback would make
+        # 'onehot' vs 'scatter' A/Bs measure the same thing (ADVICE r5)
+        return _take_onehot_bwd(table, ids)
+    if _GRAD_MODE == "auto" and vocab <= ONEHOT_BWD_MAX_VOCAB:
         if ids.size * vocab <= ONEHOT_BWD_MAX_ELEMS:
             # the jnp one-hot beats BOTH scatter and the pallas kernel
             # wherever its materialization fits (floor_r5 / steps_r5dtable

@@ -51,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_FILL = -(2.0 ** 32) + 1.0
 _TILE_B = 128       # forward batch tile
-_TILE_B_BWD = 32    # backward holds ~2x the blocks (dk/dv/dtprec outputs
-                    # mirror the k/v/tprec inputs) - halve the tile to fit
-                    # the 16 MB scoped-VMEM limit in f32
+_TILE_B_BWD = 16    # backward holds ALL hops' k/v/tprec blocks AND their
+                    # cotangent outputs per tile (1-D grid, hop loop
+                    # in-kernel) — sized for the 16 MB scoped-VMEM limit
+                    # in f32 at n_hops<=8
 MAX_KEYS = 256     # short-memory regime only; past this the fused
                    # whole-readout kernel (readout_kernel.py) takes over
 
@@ -123,82 +124,83 @@ def _chain_bwd_kernel(n_hops: int, scale: float,
                       gp_ref, wo2_ref, wq_ref, bq_ref, lng_ref, lnb_ref,
                       curs_ref,
                       ddec_ref, dk_ref, dv_ref, dt_ref, dgp_ref,
-                      dwo2_ref, dwq_ref, dbq_ref, dlng_ref, dlnb_ref,
-                      dcur_scr):
+                      dwo2_ref, dwq_ref, dbq_ref, dlng_ref, dlnb_ref):
+    """1-D grid over batch tiles; the reversed hop loop runs INSIDE the
+    kernel so the hop-indexed param-gradient blocks are full-array,
+    constant-indexed, and revisited CONSECUTIVELY across grid steps —
+    the only output-revisit pattern Pallas TPU supports (the first cut
+    used a (batch, hop) grid whose hop-indexed param blocks were
+    revisited non-consecutively; hardware happened to refetch them, but
+    the pattern is unsupported and jax's strict interpret checker
+    rejects it)."""
     bt = pl.program_id(0)
-    hop = pl.program_id(1)            # grid coord; real hop via index_maps
     in_dtype = k_ref.dtype
 
-    # param-grad blocks are revisited across batch tiles: zero them on
-    # the first tile IN EVERY BRANCH (uninitialised memory on hardware)
+    # param-grad blocks accumulate across batch tiles: zero them on the
+    # first tile IN EVERY BRANCH (uninitialised memory on hardware)
     @pl.when(bt == 0)
     def _zero_params():
         for ref in (dwo2_ref, dwq_ref, dbq_ref, dlng_ref, dlnb_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    @pl.when(hop == 0)
-    def _seed():
-        dcur_scr[...] = g_ref[...][:, 0, :].astype(jnp.float32)
-
-    cur = curs_ref[...][0]                                       # [TB, d]
-    k = k_ref[...][0]
-    v = v_ref[...][0]
-    tprec = t_ref[...][0]
-    wq = wq_ref[...][0]
-    wo2 = wo2_ref[...][0].astype(jnp.float32)
-    lng = lng_ref[...][0, 0].astype(jnp.float32)
-    tl = k.shape[1]
+    tl = k_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tl), 1)
     mask = col < klen_ref[...]
     qz = qz_ref[...].astype(jnp.float32)
+    dcur = g_ref[...][:, 0, :].astype(jnp.float32)               # [TB, d]
 
-    _, saved = _hop_fwd(cur, k, v, tprec, gp_ref[...][0], wo2_ref[...][0],
-                        wq, bq_ref[...][0, 0], lng_ref[...][0, 0],
-                        lnb_ref[...][0, 0], mask, qz, scale, in_dtype)
-    q, s0, tqk, sig, w, xh, inv = saved
+    for i in range(n_hops - 1, -1, -1):
+        cur = curs_ref[...][i]                                   # [TB, d]
+        k = k_ref[...][i]
+        v = v_ref[...][i]
+        tprec = t_ref[...][i]
+        wq = wq_ref[...][i]
+        wo2 = wo2_ref[...][i, 0].astype(jnp.float32)             # [tl]
+        lng = lng_ref[...][i, 0].astype(jnp.float32)
 
-    g = dcur_scr[...]                                            # [TB, d]
-    # layer-norm backward (normalize(): (x-mu)*inv*gamma + beta)
-    dlng_ref[...] += jnp.sum(g * xh, axis=0)[None, None]
-    dlnb_ref[...] += jnp.sum(g, axis=0)[None, None]
-    dxh = g * lng
-    dx = (dxh - jnp.mean(dxh, axis=1, keepdims=True)
-          - xh * jnp.mean(dxh * xh, axis=1, keepdims=True)) * inv
-    do = dx * qz
-    dcur = dx                                     # residual branch
-    # o = sum_l w * V
-    dw = jnp.sum(do[:, None, :] * v.astype(jnp.float32), axis=2)
-    dv_ref[...] = (w[:, :, None] * do[:, None, :])[None].astype(dv_ref.dtype)
-    # softmax transpose (masked cols have w == 0 -> ds == 0)
-    ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
-    dgate = ds * s0 * scale * sig * (1.0 - sig)
-    ds0 = ds * sig * scale
-    dgp_ref[...] = dgate[None].astype(dgp_ref.dtype)
-    dwo2_ref[...] += jnp.sum(dgate * tqk, axis=0)[None, None]
-    dtqk = dgate * wo2
-    dpre = dtqk * (1.0 - tqk * tqk)                              # [TB, L]
-    dt_ref[...] = (dpre[:, :, None] * cur[:, None, :]
-                   )[None].astype(dt_ref.dtype)
-    dcur = dcur + jnp.sum(dpre[:, :, None] * tprec.astype(jnp.float32),
-                          axis=1)
-    # s0 = q . K^T
-    dq = jnp.sum(ds0[:, :, None] * k.astype(jnp.float32), axis=1)
-    dk_ref[...] = (ds0[:, :, None] * q[:, None, :]
-                   )[None].astype(dk_ref.dtype)
-    dq_pre = jnp.where(q > 0.0, dq, 0.0).astype(in_dtype)
-    dcur = dcur + jax.lax.dot_general(
-        dq_pre, wq, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwq_ref[...] += jax.lax.dot_general(
-        cur.astype(in_dtype), dq_pre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[None]
-    dbq_ref[...] += jnp.sum(dq_pre.astype(jnp.float32),
-                            axis=0)[None, None]
-    dcur_scr[...] = dcur
+        _, saved = _hop_fwd(cur, k, v, tprec, gp_ref[...][i],
+                            wo2_ref[...][i], wq, bq_ref[...][i, 0],
+                            lng_ref[...][i, 0], lnb_ref[...][i, 0],
+                            mask, qz, scale, in_dtype)
+        q, s0, tqk, sig, w, xh, inv = saved
 
-    @pl.when(hop == n_hops - 1)                  # real hop 0
-    def _emit():
-        ddec_ref[...] = dcur[:, None, :].astype(ddec_ref.dtype)
+        g = dcur
+        # layer-norm backward (normalize(): (x-mu)*inv*gamma + beta)
+        dlng_ref[i] += jnp.sum(g * xh, axis=0)[None]
+        dlnb_ref[i] += jnp.sum(g, axis=0)[None]
+        dxh = g * lng
+        dx = (dxh - jnp.mean(dxh, axis=1, keepdims=True)
+              - xh * jnp.mean(dxh * xh, axis=1, keepdims=True)) * inv
+        do = dx * qz
+        dcur = dx                                 # residual branch
+        # o = sum_l w * V
+        dw = jnp.sum(do[:, None, :] * v.astype(jnp.float32), axis=2)
+        dv_ref[i] = (w[:, :, None] * do[:, None, :]).astype(dv_ref.dtype)
+        # softmax transpose (masked cols have w == 0 -> ds == 0)
+        ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
+        dgate = ds * s0 * scale * sig * (1.0 - sig)
+        ds0 = ds * sig * scale
+        dgp_ref[i] = dgate.astype(dgp_ref.dtype)
+        dwo2_ref[i] += jnp.sum(dgate * tqk, axis=0)[None]
+        dtqk = dgate * wo2
+        dpre = dtqk * (1.0 - tqk * tqk)                          # [TB, L]
+        dt_ref[i] = (dpre[:, :, None] * cur[:, None, :]
+                     ).astype(dt_ref.dtype)
+        dcur = dcur + jnp.sum(dpre[:, :, None] * tprec.astype(jnp.float32),
+                              axis=1)
+        # s0 = q . K^T
+        dq = jnp.sum(ds0[:, :, None] * k.astype(jnp.float32), axis=1)
+        dk_ref[i] = (ds0[:, :, None] * q[:, None, :]).astype(dk_ref.dtype)
+        dq_pre = jnp.where(q > 0.0, dq, 0.0).astype(in_dtype)
+        dcur = dcur + jax.lax.dot_general(
+            dq_pre, wq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwq_ref[i] += jax.lax.dot_general(
+            cur.astype(in_dtype), dq_pre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbq_ref[i] += jnp.sum(dq_pre.astype(jnp.float32), axis=0)[None]
+
+    ddec_ref[...] = dcur[:, None, :].astype(ddec_ref.dtype)
 
 
 def _pad_b(x, b_pad, axis):
@@ -284,38 +286,35 @@ def _chain_bwd_impl(g, klen, qz, k_all, v_all, tprec, gate_part, wo2,
     g_p = _pad_b(g[:, None, :], b_pad, 0)
     klen_p = _pad_b(klen.astype(jnp.int32)[:, None], b_pad, 0)
     qz_p = _pad_b(qz.astype(jnp.float32)[:, None], b_pad, 0)
-    grid = (b_pad // _TILE_B_BWD, n)
+    grid = (b_pad // _TILE_B_BWD,)
     wo2_r, bq_r, lng_r, lnb_r = (x[:, None, :] for x in (wo2, bq, lng, lnb))
-    rev = lambda bt, h: (n - 1 - h, bt, 0, 0)   # noqa: E731 reversed hops
+    tile4 = lambda: pl.BlockSpec((n, _TILE_B_BWD, tl, d),  # noqa: E731
+                                 lambda bt: (0, bt, 0, 0))
     outs = pl.pallas_call(
         functools.partial(_chain_bwd_kernel, n, 1.0 / (d ** 0.5)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE_B_BWD, 1, d), lambda bt, h: (bt, 0, 0)),  # g
-            pl.BlockSpec((_TILE_B_BWD, 1), lambda bt, h: (bt, 0)),
-            pl.BlockSpec((_TILE_B_BWD, 1), lambda bt, h: (bt, 0)),
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # k
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # v
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # tprec
-            pl.BlockSpec((1, _TILE_B_BWD, tl), lambda bt, h: (n - 1 - h, bt, 0)),
-            pl.BlockSpec((1, 1, tl), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, _TILE_B_BWD, d), lambda bt, h: (n - 1 - h, bt, 0)),
+            pl.BlockSpec((_TILE_B_BWD, 1, d), lambda bt: (bt, 0, 0)),  # g
+            pl.BlockSpec((_TILE_B_BWD, 1), lambda bt: (bt, 0)),
+            pl.BlockSpec((_TILE_B_BWD, 1), lambda bt: (bt, 0)),
+            tile4(), tile4(), tile4(),                           # k, v, t
+            pl.BlockSpec((n, _TILE_B_BWD, tl), lambda bt: (0, bt, 0)),
+            pl.BlockSpec((n, 1, tl), lambda bt: (0, 0, 0)),      # wo2
+            pl.BlockSpec((n, d, d), lambda bt: (0, 0, 0)),       # wq
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),       # bq
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),       # lng
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),       # lnb
+            pl.BlockSpec((n, _TILE_B_BWD, d), lambda bt: (0, bt, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((_TILE_B_BWD, 1, d), lambda bt, h: (bt, 0, 0)),
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # dk
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # dv
-            pl.BlockSpec((1, _TILE_B_BWD, tl, d), rev),              # dtprec
-            pl.BlockSpec((1, _TILE_B_BWD, tl), lambda bt, h: (n - 1 - h, bt, 0)),
-            pl.BlockSpec((1, 1, tl), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda bt, h: (n - 1 - h, 0, 0)),
+            pl.BlockSpec((_TILE_B_BWD, 1, d), lambda bt: (bt, 0, 0)),
+            tile4(), tile4(), tile4(),                           # dk/dv/dt
+            pl.BlockSpec((n, _TILE_B_BWD, tl), lambda bt: (0, bt, 0)),
+            pl.BlockSpec((n, 1, tl), lambda bt: (0, 0, 0)),
+            pl.BlockSpec((n, d, d), lambda bt: (0, 0, 0)),
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),
+            pl.BlockSpec((n, 1, d), lambda bt: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, 1, d), g.dtype),
@@ -329,7 +328,6 @@ def _chain_bwd_impl(g, klen, qz, k_all, v_all, tprec, gate_part, wo2,
             jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, d), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_TILE_B_BWD, d), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(g_p, klen_p, qz_p, k_p, v_p, t_p, gp_p, wo2_r, wq, bq_r,
       lng_r, lnb_r, curs_p)
