@@ -32,12 +32,21 @@ einsums exactly as on the jnp path.  kind='time', num_heads=1 (every
 reference preset), no attention dropout (the reference disables it on
 the time readout, time_aware_attention.py:440).
 
-Grid: (batch_tiles, n_hops); the hop axis is minor, so each batch
-tile's chain runs sequentially with `cur` (forward) / `dcur` (backward)
-carried in VMEM scratch.  Param-gradient output blocks are indexed by
-hop and revisited across batch tiles: zero-initialised at batch tile 0
-IN EVERY BRANCH (hardware gives uninitialised blocks; interpret mode
-zero-fills and would hide the bug).
+Grids: forward (batch_tiles, n_hops) with the hop axis minor, `cur`
+carried in VMEM scratch; backward a 1-D (batch_tiles,) grid with the
+reversed hop loop INSIDE the kernel, so the hop-indexed param-gradient
+blocks are constant-indexed and revisited CONSECUTIVELY across grid
+steps — the only output-revisit pattern Pallas TPU supports.  They are
+zero-initialised at batch tile 0 IN EVERY BRANCH (hardware gives
+uninitialised blocks; interpret mode zero-fills and would hide the
+bug).
+
+MEASURED at the reference shapes (steps_r5chain.json): LOSES to the
+hop-batched jnp readout (123.2 vs 92.9 ms per 100-step MTAM superstep)
+— the ~29 MB/step of operand+cotangent staging exceeds the dispatch
+overhead removed.  Kept opt-in (attention.READOUT_CHAIN_OPT_IN) as the
+fourth and final structure tried; hardware grad parity <=8.1e-4
+(hw_parity 'chain').
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_FILL = -(2.0 ** 32) + 1.0
 _TILE_B = 128       # forward batch tile
-_TILE_B_BWD = 16    # backward holds ALL hops' k/v/tprec blocks AND their
+_TILE_B_BWD = 8     # backward holds ALL hops' k/v/tprec blocks AND their
                     # cotangent outputs per tile (1-D grid, hop loop
                     # in-kernel) — sized for the 16 MB scoped-VMEM limit
                     # in f32 at n_hops<=8
