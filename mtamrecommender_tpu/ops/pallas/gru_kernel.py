@@ -40,31 +40,39 @@ def _round_up(x: int, m: int) -> int:
 
 # batch rows per grid program.  [TB, u] x [u, 2u] state matmuls use TB of
 # the MXU's 128 rows, so bigger tiles raise MXU row utilization — VMEM
-# bounds them.  The forward holds ~7 whole-sequence [L, TB, *] blocks and
-# fits TB=64.  The backward STREAMS the time axis in _TIME_CHUNK-step
-# blocks (2-D grid: batch tiles x reversed time chunks, carried cotangent
-# in persistent scratch), so its VMEM footprint is O(TC*TB) instead of
-# O(L*TB) and the full 128 MXU rows fit (the round-1 whole-sequence form
-# was stuck at TB=32; TB=64 exceeded the 16 MB scoped-VMEM limit on v5e).
-_TILE_B_FWD = 64
+# bounds them.  Since round 5 BOTH directions stream the time axis in
+# _TIME_CHUNK-step blocks (2-D grid: batch tiles x time chunks, carried
+# state/cotangent in persistent scratch), so the footprint is O(TC*TB)
+# instead of O(L*TB) and both run the MXU's full 128 rows at any
+# practical L (the round-1 whole-sequence forms were VMEM-capped at
+# TB=32 bwd / TB=64 fwd and refused L=2048 outright).
+_TILE_B_FWD = 128
 _TILE_B_BWD = 128
 _TIME_CHUNK = 8
 
-# whole-kernel VMEM ceiling for the FORWARD's whole-sequence blocks
-# (gate_x [L,TB,2u] + cand_x/e1/e2/out [L,TB,u] ~= 6*L*TB*u*itemsize).
-# v5e compiles fail past ~128 MB total vmem (measured: L=2048 bf16 asked
-# for 160 MB); oversize sequences fall back to the jnp scan in
-# ops/time_gru._pallas_gru_ok.
-_VMEM_BUDGET = 96 * 1024 * 1024
-
 
 def seq_supported(seq_len: int, units: int, itemsize: int) -> bool:
-    return 6 * seq_len * _TILE_B_FWD * units * itemsize <= _VMEM_BUDGET
+    """Both directions stream the time axis in _TIME_CHUNK blocks
+    (round 5 — the forward previously held whole-sequence [L,TB,*]
+    blocks, which capped it at TB=64 and failed to compile at L=2048),
+    so VMEM is O(TC*TB) and any practical length fits; the cap below is
+    a sanity bound, not a measured limit."""
+    del units, itemsize
+    return seq_len <= (1 << 15)
 
 
-def _gru_scan_kernel(mode: str, seq_len: int, units: int,
+def _gru_scan_kernel(mode: str, time_chunk: int, units: int,
                      gx_ref, cx_ref, e1_ref, e2_ref, len_ref, h0_ref,
-                     wgh_ref, wch_ref, bg_ref, bc_ref, vec_ref, out_ref):
+                     wgh_ref, wch_ref, bg_ref, bc_ref, vec_ref, out_ref,
+                     h_scr):
+    """Forward scan, time axis STREAMED in chunks (round 5; mirrors the
+    backward's layout).  Grid = (batch tiles, time chunks), time minor:
+    each tile's chunks run consecutively with the carried state h in
+    persistent VMEM scratch, so the VMEM footprint is O(TC*TB) instead
+    of O(L*TB) — the batch tile reaches the MXU's full 128 rows (the
+    whole-sequence round-1 form was VMEM-capped at TB=64, which wasted
+    half the MXU's rows on every state matmul AND refused long
+    sequences outright: L=2048 bf16 asked 160 MB of vmem)."""
     in_dtype = gx_ref.dtype   # f32 or bf16 (mixed precision)
     wgh = wgh_ref[:]          # [u, 2u]
     wch = wch_ref[:]          # [u, u]
@@ -72,6 +80,13 @@ def _gru_scan_kernel(mode: str, seq_len: int, units: int,
     bc = bc_ref[:].astype(jnp.float32)    # [1, u]
     vec = vec_ref[:].astype(jnp.float32)  # [4, u]
     lengths = len_ref[:]      # [TB, 1] int32
+    ct = pl.program_id(1)
+
+    @pl.when(ct == 0)
+    def _seed():
+        h_scr[...] = h0_ref[:].astype(jnp.float32)
+
+    t_base = ct * time_chunk
 
     def step(t, h):
         # h carries in f32; MXU operands use the input dtype
@@ -97,11 +112,11 @@ def _gru_scan_kernel(mode: str, seq_len: int, units: int,
                                      + vec[2:3, :] * e2_ref[t].astype(jnp.float32)
                                      + vec[3:4, :])
             new_h = u * h + (1.0 - u) * cand * t_state
-        alive = t < lengths   # [TB, 1] bool, broadcasts over units
+        alive = t_base + t < lengths   # [TB,1] bool, GLOBAL time
         out_ref[t] = jnp.where(alive, new_h, 0.0)
         return jnp.where(alive, new_h, h)
 
-    jax.lax.fori_loop(0, seq_len, step, h0_ref[:].astype(jnp.float32))
+    h_scr[...] = jax.lax.fori_loop(0, time_chunk, step, h_scr[...])
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -114,34 +129,37 @@ def gru_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
     tile_b = min(_round_up(b_sz, 8), _TILE_B_FWD)
     bp = _round_up(b_sz, tile_b)
     n_tiles = bp // tile_b
+    tc = min(_TIME_CHUNK, seq_len)
+    lp = _round_up(seq_len, tc)
 
-    def prep(x):  # [B,L,f] -> padded time-major [L,Bp,f]
+    def prep(x):  # [B,L,f] -> padded time-major [Lp,Bp,f]
         x = jnp.transpose(x, (1, 0, 2))
-        return jnp.pad(x, ((0, 0), (0, bp - b_sz), (0, 0)))
+        return jnp.pad(x, ((0, lp - seq_len), (0, bp - b_sz), (0, 0)))
 
     gx, cx, e1p, e2p = prep(gate_x), prep(cand_x), prep(e1), prep(e2)
     lens = jnp.pad(lengths.astype(jnp.int32), (0, bp - b_sz))[:, None]
     h0p = jnp.pad(h0, ((0, bp - b_sz), (0, 0)))
 
-    tm = lambda f: pl.BlockSpec((seq_len, tile_b, f), lambda i: (0, i, 0),  # noqa: E731
+    tm = lambda f: pl.BlockSpec((tc, tile_b, f), lambda i, c: (c, i, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
-    w = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),  # noqa: E731
-                                  memory_space=pltpu.VMEM)
+    w = lambda r, c_: pl.BlockSpec((r, c_), lambda i, c: (0, 0),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_gru_scan_kernel, mode, seq_len, units),
-        grid=(n_tiles,),
+        functools.partial(_gru_scan_kernel, mode, tc, units),
+        grid=(n_tiles, lp // tc),
         in_specs=[
             tm(2 * units), tm(units), tm(units), tm(units),
-            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, 1), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, units), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, units), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
             w(units, 2 * units), w(units, units), w(1, 2 * units),
             w(1, units), w(4, units),
         ],
         out_specs=tm(units),
-        out_shape=jax.ShapeDtypeStruct((seq_len, bp, units), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((lp, bp, units), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, units), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * seq_len * units * 3 * units,
             bytes_accessed=4 * bp * seq_len * 5 * units,
@@ -150,7 +168,7 @@ def gru_scan(mode: str, gate_x, cand_x, e1, e2, lengths, h0,
         interpret=jax.default_backend() != "tpu",
     )(gx, cx, e1p, e2p, lens, h0p,
       w_gate_h, w_cand_h, b_gate[None, :], b_cand[None, :], cell_vecs)
-    return jnp.transpose(out[:, :b_sz, :], (1, 0, 2))
+    return jnp.transpose(out[:seq_len, :b_sz, :], (1, 0, 2))
 
 
 def _gru_scan_bwd_kernel(mode: str, n_time_chunks: int, time_chunk: int,
