@@ -147,6 +147,20 @@ def time_variant(variant: str, calls: int) -> dict:
         zero_l2.__wrapped__ = orig_l2
         base_mod.l2_of_lookups = zero_l2
 
+    if variant == "sg_pred":
+        # stop-grad on the model's prediction: removes the model-tower
+        # backward (attention/MLP chains) while keeping CE fwd+bwd wrt
+        # the logits table and the embedding backward — isolates how
+        # much of the residual floor is the tower's backward op count
+        orig_apply = model.apply
+
+        def apply_sg(params, cfg_m, batch, *, train, rng):
+            o = orig_apply(params, cfg_m, batch, train=train, rng=rng)
+            return base_mod.ModelOutput(
+                jax.lax.stop_gradient(o.predict_emb), o.embedded)
+
+        model = model._replace(apply=apply_sg)
+
     params = model.init(jax.random.PRNGKey(0), cfg.model, meta)
     if variant == "sgd":
         sched = trainer_mod.make_lr_schedule(cfg.train)
